@@ -1,0 +1,216 @@
+"""STFT / iSTFT as framed matmuls against windowed DFT bases.
+
+The reference relies on torch.stft/istft (cuFFT) for every spectral loss and
+the vocoder head (train/models/generator.py:23-56) and separately ships a
+conv-formulated STFT for ONNX export (train/models/stft.py:50-96).  On TPU the
+conv formulation *is* the fast path: a frame of audio times a precomputed
+``[n_fft, 2*freq_bins]`` windowed DFT basis is a single MXU matmul, and XLA
+fuses the magnitude/phase elementwise epilogue into it.  We therefore build
+one kernel family used by the generator head, the mag/phase loss, the
+3-resolution multi-spectrogram, the posterior encoder and the mel frontend.
+
+Conventions follow ``torch.stft(center=True, pad_mode="reflect",
+onesided=True)`` and ``torch.istft`` (overlap-add with window-envelope
+normalisation) so outputs are numerically interchangeable with the torch
+reference — see tests/test_stft.py for the parity suite.
+
+Layout: waveforms are ``[B, T]``; spectrograms are channels-last
+``[B, frames, freq]`` so the frequency axis sits on TPU lanes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def hann_window(win_length: int, dtype=np.float32) -> np.ndarray:
+    """Periodic Hann window (matches torch.hann_window(periodic=True))."""
+    n = np.arange(win_length)
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)).astype(dtype)
+
+
+def _padded_window(win_length: int, n_fft: int) -> np.ndarray:
+    """Hann window center-padded to n_fft (torch.stft convention)."""
+    w = hann_window(win_length)
+    if win_length < n_fft:
+        left = (n_fft - win_length) // 2
+        w = np.pad(w, (left, n_fft - win_length - left))
+    elif win_length > n_fft:
+        w = w[:n_fft]
+    return w
+
+
+@functools.lru_cache(maxsize=32)
+def _forward_basis(n_fft: int, win_length: int) -> np.ndarray:
+    """Windowed forward DFT basis, shape [n_fft, 2 * freq_bins].
+
+    Columns 0..F-1 give the real part, F..2F-1 the imaginary part
+    (with torch's e^{-j2πkn/N} sign convention)."""
+    freq_bins = n_fft // 2 + 1
+    n = np.arange(n_fft)[:, None]
+    k = np.arange(freq_bins)[None, :]
+    angle = 2.0 * np.pi * n * k / n_fft
+    window = _padded_window(win_length, n_fft)[:, None]
+    real = np.cos(angle) * window
+    imag = -np.sin(angle) * window
+    return np.concatenate([real, imag], axis=1).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=32)
+def _inverse_basis(n_fft: int, win_length: int) -> np.ndarray:
+    """Windowed inverse DFT basis, shape [2 * freq_bins, n_fft].
+
+    Maps (real, imag) rFFT coefficients of one frame to the windowed
+    time-domain frame w[n] * irfft(X)[n], including the doubling of
+    non-DC/non-Nyquist bins for the onesided transform."""
+    freq_bins = n_fft // 2 + 1
+    n = np.arange(n_fft)[None, :]
+    k = np.arange(freq_bins)[:, None]
+    angle = 2.0 * np.pi * n * k / n_fft
+    scale = np.full((freq_bins, 1), 2.0 / n_fft)
+    scale[0] = 1.0 / n_fft
+    if n_fft % 2 == 0:
+        scale[-1] = 1.0 / n_fft
+    window = _padded_window(win_length, n_fft)[None, :]
+    real_basis = np.cos(angle) * scale * window
+    imag_basis = -np.sin(angle) * scale * window
+    return np.concatenate([real_basis, imag_basis], axis=0).astype(np.float32)
+
+
+def frame_signal(x: jax.Array, n_fft: int, hop_length: int) -> jax.Array:
+    """[B, T] -> [B, frames, n_fft] overlapping frames (stride = hop).
+
+    Uses conv_general_dilated_patches which XLA lowers to an efficient
+    strided gather on TPU; the result feeds a single large matmul."""
+    frames = 1 + (x.shape[-1] - n_fft) // hop_length
+    patches = jax.lax.conv_general_dilated_patches(
+        x[:, None, :],
+        filter_shape=(n_fft,),
+        window_strides=(hop_length,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )  # [B, n_fft, frames]
+    assert patches.shape[-1] == frames
+    return jnp.swapaxes(patches, 1, 2)
+
+
+def stft(
+    x: jax.Array,
+    *,
+    n_fft: int,
+    hop_length: int,
+    win_length: int,
+    center: bool = True,
+    pad_mode: str = "reflect",
+) -> Tuple[jax.Array, jax.Array]:
+    """Real STFT of [B, T] -> (real, imag), each [B, frames, n_fft//2+1]."""
+    if center:
+        pad = n_fft // 2
+        x = jnp.pad(x, ((0, 0), (pad, pad)), mode=pad_mode)
+    frames = frame_signal(x, n_fft, hop_length)
+    basis = jnp.asarray(_forward_basis(n_fft, win_length))
+    out = jnp.einsum(
+        "btn,nf->btf", frames, basis, preferred_element_type=jnp.float32
+    )
+    freq_bins = n_fft // 2 + 1
+    return out[..., :freq_bins], out[..., freq_bins:]
+
+
+def stft_magnitude(x: jax.Array, *, n_fft, hop_length, win_length, eps=1e-14):
+    real, imag = stft(
+        x, n_fft=n_fft, hop_length=hop_length, win_length=win_length
+    )
+    return jnp.sqrt(real * real + imag * imag + eps)
+
+
+def _overlap_add(frames_time: jax.Array, hop_length: int) -> jax.Array:
+    """[B, frames, n_fft] -> [B, (frames-1)*hop + n_fft] overlap-add.
+
+    Expressed as a transposed convolution so XLA emits one fused op."""
+    n_fft = frames_time.shape[-1]
+    # [B, frames, n_fft] as NCH with channels = n_fft, width = frames
+    lhs = jnp.swapaxes(frames_time, 1, 2)
+    eye = jnp.eye(n_fft, dtype=frames_time.dtype)[:, None, :]  # [C_in,1,K]? OIH
+    # conv_transpose with identity kernel scatters each frame at its hop slot.
+    out = jax.lax.conv_transpose(
+        lhs,
+        eye,  # [O=n_fft? ...]
+        strides=(hop_length,),
+        padding="VALID",
+        dimension_numbers=("NCH", "IOH", "NCH"),
+    )
+    return out[:, 0, :]
+
+
+def istft(
+    real: jax.Array,
+    imag: jax.Array,
+    *,
+    n_fft: int,
+    hop_length: int,
+    win_length: int,
+    length: int | None = None,
+    center: bool = True,
+    eps: float = 1e-11,
+) -> jax.Array:
+    """Inverse STFT of [B, frames, F] (real, imag) -> [B, T].
+
+    Matches torch.istft: y = OLA(w · irfft(X)) / OLA(w²), then the center
+    padding is trimmed.  The window-envelope denominator depends only on
+    static shapes, so XLA constant-folds it."""
+    basis = jnp.asarray(_inverse_basis(n_fft, win_length))
+    coeffs = jnp.concatenate([real, imag], axis=-1)  # [B, frames, 2F]
+    frames_time = jnp.einsum(
+        "btf,fn->btn", coeffs, basis, preferred_element_type=jnp.float32
+    )
+    y = _overlap_add(frames_time, hop_length)
+
+    n_frames = real.shape[1]
+    w2 = jnp.asarray(_padded_window(win_length, n_fft) ** 2)
+    env = _overlap_add(
+        jnp.broadcast_to(w2, (1, n_frames, n_fft)), hop_length
+    )
+    y = y / jnp.maximum(env, eps)
+
+    if center:
+        pad = n_fft // 2
+        y = y[:, pad:-pad]
+    if length is not None:
+        y = y[:, :length]
+    return y
+
+
+class STFTHead:
+    """Bound STFT config mirroring the reference TorchSTFT wrapper
+    (train/models/generator.py:23-56): transform() returns (|S|, cos, sin)
+    and inverse() reconstructs audio from magnitude and unit phase."""
+
+    def __init__(self, filter_length: int, hop_length: int, win_length: int):
+        self.n_fft = filter_length
+        self.hop_length = hop_length
+        self.win_length = win_length
+
+    def transform(self, x: jax.Array):
+        real, imag = stft(
+            x,
+            n_fft=self.n_fft,
+            hop_length=self.hop_length,
+            win_length=self.win_length,
+        )
+        mag = jnp.abs(jax.lax.complex(real, imag)) + 1e-9
+        return mag, real / mag, imag / mag
+
+    def inverse(self, magnitude, cos, sin, length=None):
+        return istft(
+            magnitude * cos,
+            magnitude * sin,
+            n_fft=self.n_fft,
+            hop_length=self.hop_length,
+            win_length=self.win_length,
+            length=length,
+        )
