@@ -1,0 +1,75 @@
+"""Benchmark: single-chip synthesis throughput (real-time factor).
+
+Prints ONE JSON line:
+  {"metric": "synthesis_rtf", "value": <audio-seconds generated per
+   wall-second per chip>, "unit": "x_realtime", "vs_baseline": value / 5.0}
+
+The baseline target is >=5x real time per TPU v5e chip on LJSpeech-length
+utterances (BASELINE.md).  Uses the full-size default model (model.yml
+parity) with randomly initialised weights — throughput is weight-independent.
+"""
+
+import json
+import sys
+import time
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stylish_tts_tpu.config import ModelConfig
+    from stylish_tts_tpu.models import build_models
+    from stylish_tts_tpu.train.init import init_model_variables
+
+    mc = ModelConfig()
+    models = build_models(mc)
+    rng = jax.random.PRNGKey(0)
+    keys = [
+        "speech_predictor",
+        "pe_text_encoder",
+        "pe_text_style_encoder",
+        "pitch_energy_predictor",
+        "duration_predictor",
+    ]
+    variables = init_model_variables(models, mc, rng, keys=keys)
+    params = {k: v["params"] for k, v in variables.items()}
+
+    from stylish_tts_tpu.export.infer import Synthesizer
+
+    synth = Synthesizer(mc, params)
+
+    # LJSpeech-like utterance: ~6.5 s of IPA phonemes (~130 tokens)
+    phonemes = (
+        "ðə bˈɜːdz wɜː sˈɪŋɪŋ swˈiːtli ɪn ðə ɡˈɑːɹdən wˌaɪl ðə tʃˈɪldɹən "
+        "plˈeɪd bɪnˈiːθ ðə tˈɔːl ˈoʊk tɹˈiː ɑːn ðæt wˈɔːɹm sˈʌmɚ ˈæftɚnˌuːn"
+    )
+
+    # warm-up / compile
+    audio = synth.synthesize(phonemes)
+    jax.block_until_ready(audio)
+
+    iters = 10
+    t0 = time.perf_counter()
+    total_audio = 0.0
+    for _ in range(iters):
+        audio = synth.synthesize(phonemes)
+        total_audio += audio.shape[0] / mc.sample_rate
+    wall = time.perf_counter() - t0
+
+    rtf = total_audio / wall
+    print(
+        json.dumps(
+            {
+                "metric": "synthesis_rtf",
+                "value": round(rtf, 3),
+                "unit": "x_realtime",
+                "vs_baseline": round(rtf / 5.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

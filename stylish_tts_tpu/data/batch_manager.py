@@ -1,0 +1,147 @@
+"""BatchManager: owns the training dataset, per-bin batch sizes and the
+prefetching epoch iterator.
+
+The reference discovers per-bin batch sizes by deliberately OOM-ing the GPU
+(train/batch_manager.py:70-164) and shrinks them on OOM mid-training.  On
+TPU every bucket shape is known at compile time, so the subsystem
+transforms into ahead-of-time memory planning: activation footprint scales
+~linearly with frames × batch, so given a target batch size at a reference
+bin we solve for every other bin and clamp to the probe maximum.  Batch
+sizes remain JSON-persisted and hot-reloadable mid-epoch
+(train/dataloader.py:377, train/stage.py:71-83) so an operator can still
+edit them live.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import queue
+import threading
+from pathlib import Path
+from typing import Callable, Dict, Iterator, List, Optional
+
+import numpy as np
+
+from .collate import collate
+from .dataset import FilePathDataset, get_frame_count
+from .sampler import DynamicBatchSampler
+
+logger = logging.getLogger(__name__)
+
+
+class BatchManager:
+    def __init__(
+        self,
+        dataset: FilePathDataset,
+        out_dir: str | Path,
+        stage_name: str,
+        *,
+        probe_batch_max: int = 32,
+        num_workers: int = 8,
+    ):
+        self.dataset = dataset
+        self.out_dir = Path(out_dir)
+        self.stage_name = stage_name
+        self.probe_batch_max = probe_batch_max
+        self.num_workers = num_workers
+        self.time_bins, self.seconds_per_bin = dataset.time_bins()
+        self.batch_sizes: Dict[str, int] = {}
+        self.load_batch_sizes()
+        if not self.batch_sizes:
+            self.plan_batch_sizes()
+
+    # -- batch-size planning / persistence -------------------------------- #
+
+    def batch_file(self) -> Path:
+        return self.out_dir / f"{self.stage_name}_batch_sizes.json"
+
+    def load_batch_sizes(self) -> None:
+        path = self.batch_file()
+        if path.is_file():
+            self.batch_sizes = json.loads(path.read_text())
+
+    def save_batch_sizes(self) -> None:
+        self.out_dir.mkdir(parents=True, exist_ok=True)
+        self.batch_file().write_text(json.dumps(self.batch_sizes))
+
+    def plan_batch_sizes(self, reference_bin: int = 20) -> None:
+        """Inverse-linear memory plan: bin `reference_bin` (~7 s audio)
+        gets probe_batch_max; other bins scale by frame ratio."""
+        ref_frames = get_frame_count(reference_bin)
+        for bin_num in self.time_bins:
+            frames = get_frame_count(bin_num)
+            bs = max(1, int(self.probe_batch_max * ref_frames / frames))
+            self.batch_sizes[str(bin_num)] = min(bs, self.probe_batch_max * 4)
+        self.save_batch_sizes()
+
+    def get_batch_size(self, bin_num: int) -> int:
+        return int(self.batch_sizes.get(str(bin_num), 1))
+
+    def set_batch_size(self, bin_num: int, batch_size: int) -> None:
+        self.batch_sizes[str(bin_num)] = batch_size
+        self.save_batch_sizes()
+
+    def steps_per_epoch(self) -> int:
+        total = 0
+        for key, idxs in self.time_bins.items():
+            bs = self.get_batch_size(key)
+            if bs > 0:
+                total += len(idxs) // bs + 1
+        return total
+
+    # -- epoch iteration --------------------------------------------------- #
+
+    def epoch_iterator(
+        self,
+        *,
+        stage: str,
+        epoch: int,
+        seed: int = 0,
+        shuffle: bool = True,
+        jitter: bool = True,
+        skip_batches: int = 0,
+    ) -> Iterator[dict]:
+        """Yields collated numpy batches, decoding audio on a worker pool
+        and prefetching ahead of the device step."""
+        sampler = DynamicBatchSampler(
+            self.time_bins,
+            self.get_batch_size,
+            shuffle=shuffle,
+            seed=seed,
+            epoch=epoch,
+        )
+        rng = np.random.default_rng(seed * 100003 + epoch)
+        plan = list(sampler)
+        if skip_batches:
+            plan = plan[skip_batches:]
+
+        q: "queue.Queue" = queue.Queue(maxsize=4)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for bin_num, idxs in plan:
+                    if stop.is_set():
+                        break
+                    items = [self.dataset.load_item(i) for i in idxs]
+                    batch = collate(items, stage=stage, rng=rng, jitter=jitter)
+                    batch["bin"] = bin_num
+                    q.put(batch)
+            except Exception as exc:  # propagate to consumer
+                q.put(exc)
+            finally:
+                q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()

@@ -1,0 +1,161 @@
+"""Deployment inference: two jit-compiled graphs + a sentence-streaming
+driver.
+
+Parity: the reference exports two ONNX graphs — a duration model and a
+speech model composed as pe_text_encoder → pe_text_style_encoder →
+pitch_energy_predictor → speech_predictor (train/models/export_model.py:5-45,
+train/convert_to_onnx.py:21-123) — and drives them per sentence with
+concatenation (train/test_onnx.py:22-96).  Here the graphs are jitted
+XLA executables per (text-bucket, frame-bucket); the deployment artifact
+is the orbax checkpoint + model-config JSON (an ONNX file would be a
+de-optimisation on TPU).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from ..duration import DurationProcessor, duration_to_alignment_np
+from ..models import build_models
+from ..text import TextCleaner
+
+
+def frame_bucket(frames: int) -> int:
+    """Round frames up to the 20-frame grid used by training buckets."""
+    return max(60, -(-frames // 20) * 20)
+
+
+class Synthesizer:
+    """jit-compiled TTS inference over static buckets."""
+
+    def __init__(
+        self,
+        model_config: ModelConfig,
+        params: Dict[str, any],
+        *,
+        sample_seed: int = 0,
+    ):
+        self.mc = model_config
+        self.models = build_models(model_config)
+        self.params = params
+        self.text_cleaner = TextCleaner(model_config.symbol)
+        self.duration_processor = DurationProcessor(
+            model_config.duration_predictor.duration_classes,
+            model_config.duration_predictor.max_duration,
+        )
+        self.rng = jax.random.PRNGKey(sample_seed)
+
+        @partial(jax.jit, static_argnums=())
+        def duration_graph(params, tokens, lengths):
+            return self.models["duration_predictor"].apply(
+                {"params": params["duration_predictor"]}, tokens, lengths
+            )
+
+        @jax.jit
+        def speech_graph(params, tokens, lengths, alignment, rng):
+            pe_enc, _, _ = self.models["pe_text_encoder"].apply(
+                {"params": params["pe_text_encoder"]}, tokens, lengths
+            )
+            style = self.models["pe_text_style_encoder"].apply(
+                {"params": params["pe_text_style_encoder"]}, pe_enc, lengths
+            )
+            pitch, energy = self.models["pitch_energy_predictor"].apply(
+                {"params": params["pitch_energy_predictor"]},
+                pe_enc, lengths, alignment, style,
+            )
+            pred = self.models["speech_predictor"].apply(
+                {"params": params["speech_predictor"]},
+                tokens, lengths, alignment, pitch, energy, None,
+                rngs={"sample": rng},
+            )
+            return pred.audio
+
+        self._duration_graph = duration_graph
+        self._speech_graph = speech_graph
+
+    # ------------------------------------------------------------------ #
+
+    def _encode(self, phonemes: str, bucket: Optional[int] = None):
+        ids = [0] + self.text_cleaner(phonemes) + [0]
+        n = len(ids)
+        if bucket is None:
+            bucket = min(max(64, -(-n // 64) * 64), 512)
+        tokens = np.zeros((1, bucket), np.int32)
+        tokens[0, :n] = ids
+        return jnp.asarray(tokens), jnp.asarray([n], jnp.int32), n
+
+    def predict_durations(self, phonemes: str) -> np.ndarray:
+        tokens, lengths, n = self._encode(phonemes)
+        logits = self._duration_graph(self.params, tokens, lengths)
+        durs = self.duration_processor.prediction_to_duration(logits[0])
+        return np.asarray(durs[:n], dtype=np.int64)
+
+    def synthesize(self, phonemes: str, speed: float = 1.0) -> np.ndarray:
+        """Single-utterance synthesis -> float32 waveform at 24 kHz."""
+        tokens, lengths, n = self._encode(phonemes)
+        logits = self._duration_graph(self.params, tokens, lengths)
+        durs = np.asarray(
+            self.duration_processor.prediction_to_duration(logits[0])
+        )[:n]
+        if speed != 1.0:
+            durs = np.maximum(1, np.round(durs / speed)).astype(np.int64)
+        total_frames = int(durs.sum())
+        # round to an even mel-frame bucket (generator upsamples ×4)
+        frames = frame_bucket(total_frames)
+        align = np.zeros((1, tokens.shape[1], frames), np.float32)
+        align[0, :n] = duration_to_alignment_np(durs.astype(np.int64), frames)
+        self.rng, sample_rng = jax.random.split(self.rng)
+        audio = self._speech_graph(
+            self.params, tokens, lengths, jnp.asarray(align), sample_rng
+        )
+        samples = total_frames * self.mc.hop_length
+        return np.asarray(audio[0, :samples])
+
+    def synthesize_longform(
+        self,
+        sentences: List[str],
+        silence_ms: float = 120.0,
+    ) -> np.ndarray:
+        """Sentence-streaming long-form synthesis with inter-sentence
+        silence (capability of train/test_onnx.py:47-92 and the legacy
+        audiobook driver)."""
+        sr = self.mc.sample_rate
+        gap = np.zeros(int(sr * silence_ms / 1000.0), np.float32)
+        pieces = []
+        for i, sentence in enumerate(sentences):
+            if i > 0:
+                pieces.append(gap)
+            pieces.append(self.synthesize(sentence))
+        return np.concatenate(pieces) if pieces else np.zeros(0, np.float32)
+
+
+@dataclass
+class RTFReport:
+    audio_seconds: float
+    wall_seconds: float
+
+    @property
+    def rtf(self) -> float:
+        return self.audio_seconds / self.wall_seconds
+
+
+def measure_rtf(
+    synthesizer: Synthesizer, phonemes: str, iters: int = 5
+) -> RTFReport:
+    """Real-time-factor harness (reference prints RTF in test_onnx.py:91-92)."""
+    audio = synthesizer.synthesize(phonemes)  # warm-up & compile
+    t0 = time.perf_counter()
+    total = 0.0
+    for _ in range(iters):
+        audio = synthesizer.synthesize(phonemes)
+        total += audio.shape[0] / synthesizer.mc.sample_rate
+    jax.block_until_ready(audio)
+    return RTFReport(total, time.perf_counter() - t0)

@@ -86,6 +86,7 @@ class MelSpectrogram:
         return jnp.einsum(
             "btf,fm->btm", power_spec, self.fbank,
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
 

@@ -112,11 +112,20 @@ def stft(
     if center:
         pad = n_fft // 2
         x = jnp.pad(x, ((0, 0), (pad, pad)), mode=pad_mode)
-    frames = frame_signal(x, n_fft, hop_length)
-    basis = jnp.asarray(_forward_basis(n_fft, win_length))
-    out = jnp.einsum(
-        "btn,nf->btf", frames, basis, preferred_element_type=jnp.float32
-    )
+    # one strided conv: kernel = windowed DFT basis, out channels = 2F.
+    # XLA lowers this to an implicit-GEMM on the MXU without materialising
+    # the 8-27x frame expansion in HBM.
+    basis = jnp.asarray(_forward_basis(n_fft, win_length))  # [n_fft, 2F]
+    out = jax.lax.conv_general_dilated(
+        x[:, None, :],
+        basis.T[:, None, :],  # [2F, 1, n_fft] OIH
+        window_strides=(hop_length,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST,  # spectral chain must be f32,
+        # not the TPU's default bf16 matmul (gates the mel-MAE target)
+    )  # [B, 2F, frames]
+    out = jnp.swapaxes(out, 1, 2)  # [B, frames, 2F]
     freq_bins = n_fft // 2 + 1
     return out[..., :freq_bins], out[..., freq_bins:]
 
@@ -131,20 +140,23 @@ def stft_magnitude(x: jax.Array, *, n_fft, hop_length, win_length, eps=1e-14):
 def _overlap_add(frames_time: jax.Array, hop_length: int) -> jax.Array:
     """[B, frames, n_fft] -> [B, (frames-1)*hop + n_fft] overlap-add.
 
-    Expressed as a transposed convolution so XLA emits one fused op."""
-    n_fft = frames_time.shape[-1]
-    # [B, frames, n_fft] as NCH with channels = n_fft, width = frames
-    lhs = jnp.swapaxes(frames_time, 1, 2)
-    eye = jnp.eye(n_fft, dtype=frames_time.dtype)[:, None, :]  # [C_in,1,K]? OIH
-    # conv_transpose with identity kernel scatters each frame at its hop slot.
-    out = jax.lax.conv_transpose(
-        lhs,
-        eye,  # [O=n_fft? ...]
-        strides=(hop_length,),
-        padding="VALID",
-        dimension_numbers=("NCH", "IOH", "NCH"),
+    Decomposed into K = ceil(n_fft/hop) shifted adds of [B, frames, hop]
+    chunks: chunk k of frame t lands at output frame t+k.  This keeps the
+    op a handful of vectorised adds instead of a (n_fft x n_fft)-kernel
+    transposed convolution, which XLA compiles and runs far slower."""
+    b, n_frames, n_fft = frames_time.shape
+    k_chunks = -(-n_fft // hop_length)
+    padded = jnp.pad(
+        frames_time, ((0, 0), (0, 0), (0, k_chunks * hop_length - n_fft))
     )
-    return out[:, 0, :]
+    chunks = padded.reshape(b, n_frames, k_chunks, hop_length)
+    out_frames = n_frames + k_chunks - 1
+    y = jnp.zeros((b, out_frames, hop_length), frames_time.dtype)
+    for k in range(k_chunks):
+        y = y.at[:, k : k + n_frames].add(chunks[:, :, k])
+    return y.reshape(b, out_frames * hop_length)[
+        :, : (n_frames - 1) * hop_length + n_fft
+    ]
 
 
 def istft(
@@ -166,7 +178,9 @@ def istft(
     basis = jnp.asarray(_inverse_basis(n_fft, win_length))
     coeffs = jnp.concatenate([real, imag], axis=-1)  # [B, frames, 2F]
     frames_time = jnp.einsum(
-        "btf,fn->btn", coeffs, basis, preferred_element_type=jnp.float32
+        "btf,fn->btn", coeffs, basis,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     y = _overlap_add(frames_time, hop_length)
 
@@ -177,11 +191,16 @@ def istft(
     )
     y = y / jnp.maximum(env, eps)
 
-    if center:
-        pad = n_fft // 2
-        y = y[:, pad:-pad]
+    pad = n_fft // 2 if center else 0
     if length is not None:
-        y = y[:, :length]
+        # torch.istft semantics: trim `pad` from the head only and take
+        # `length` samples (zero-padding past the synthesized tail).
+        end = pad + length
+        if y.shape[1] < end:
+            y = jnp.pad(y, ((0, 0), (0, end - y.shape[1])))
+        y = y[:, pad:end]
+    elif center:
+        y = y[:, pad:-pad]
     return y
 
 

@@ -1,0 +1,89 @@
+"""Parameter initialisation for the model zoo and train-state assembly.
+
+Shapes used at init are tiny: every module's parameters are independent of
+sequence length, so we initialise on an 8-token / 12-frame dummy and reuse
+the params for all buckets.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..models.slm import SLMFeatureExtractor
+from .optim import make_optimizer
+from .state import TrainState, init_prior_state
+
+INIT_T = 8
+INIT_F = 12
+
+
+def init_model_variables(
+    models: Dict[str, Any], mc: ModelConfig, rng: jax.Array,
+    keys: Optional[List[str]] = None,
+) -> Dict[str, Dict[str, Any]]:
+    """Initialise flax variables for each named model.
+
+    Returns {model_key: {"params": ..., "batch_stats": ...?}}."""
+    b, t, f = 1, INIT_T, INIT_F
+    tokens = jnp.zeros((b, t), jnp.int32)
+    lengths = jnp.full((b,), t, jnp.int32)
+    align = jnp.zeros((b, t, f)).at[:, 0].set(1.0)
+    pitch = jnp.full((b, f), 100.0)
+    energy = jnp.ones((b, f))
+    audio = jnp.zeros((b, f * mc.hop_length))
+    mel = jnp.zeros((b, f, mc.n_mels))
+    mel80 = jnp.zeros((b, f, 80))
+    inter = jnp.zeros((b, t, mc.inter_dim))
+    style = jnp.zeros((b, mc.style_dim))
+    spec_images = [
+        jnp.zeros((b, r // 2 + 1, f, 1)) for r in (512, 1024, 2048)
+    ]
+
+    init_args = {
+        "text_aligner": (mel80, lengths),
+        "duration_predictor": (tokens, lengths),
+        "pitch_energy_predictor": (inter, lengths, align, style),
+        "speech_predictor": (tokens, lengths, align, pitch, energy, audio),
+        "pe_text_encoder": (tokens, lengths),
+        "pe_text_style_encoder": (inter, lengths),
+        "pe_mel_style_encoder": (mel,),
+        "mrd": (spec_images, spec_images),
+        "mpd": (audio, audio),
+    }
+    out: Dict[str, Dict[str, Any]] = {}
+    for i, key in enumerate(keys if keys is not None else models.keys()):
+        k = jax.random.fold_in(rng, i)
+        rngs = {"params": k, "dropout": k, "sample": k}
+        out[key] = models[key].init(rngs, *init_args[key])
+    return out
+
+
+def init_slm_params(rng: jax.Array) -> Any:
+    """Frozen random-feature SLM (see models/slm.py)."""
+    slm = SLMFeatureExtractor()
+    return slm.init({"params": rng}, jnp.zeros((1, 1600)))["params"]
+
+
+def build_train_state(
+    variables: Dict[str, Dict[str, Any]],
+    mc: ModelConfig,
+) -> TrainState:
+    params = {k: v["params"] for k, v in variables.items()}
+    batch_stats = {
+        k: v["batch_stats"] for k, v in variables.items() if "batch_stats" in v
+    }
+    opt = make_optimizer()
+    opt_states = {k: opt.init(params[k]) for k in params}
+    priors = init_prior_state(mc.text_encoder.tokens + 1)
+    return TrainState(
+        params=params,
+        opt_states=opt_states,
+        batch_stats=batch_stats,
+        disc_ema={"mrd": jnp.asarray(1.5), "mpd": jnp.asarray(2.5)},
+        step=jnp.zeros((), jnp.int32),
+        **priors,
+    )

@@ -1,0 +1,358 @@
+"""Training driver: multi-stage auto-advancing loop.
+
+Parity with train_model / train_val_loop (reference train/train.py:76-449):
+dataset validation, deterministic val-sample selection, normalisation-stat
+bootstrap, stage auto-advance (acoustic → textual → style → duration),
+log/val/save intervals, per-stage out dirs, checkpointing, aligner export.
+
+TPU re-design: the hot path is one jitted step per (stage, bucket); batches
+stream from the host prefetcher; all scalar state machines live inside the
+TrainState so host work per step is O(1) dispatch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import logging
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config, ModelConfig
+from ..data.batch_manager import BatchManager
+from ..data.dataset import FilePathDataset, get_data_path_list
+from ..models import build_models
+from ..ops.mel import MelSpectrogram
+from ..text import TextCleaner
+from .checkpoint import (
+    Manifest,
+    NormalizationStats,
+    checkpoint_name,
+    load_checkpoint,
+    save_checkpoint,
+    save_model_safetensors,
+)
+from .init import build_train_state, init_model_variables, init_slm_params
+from .loss_log import combine_metrics, format_metrics
+from .stages import (
+    STAGES,
+    StageContext,
+    end_alignment_epoch,
+    make_eval_step,
+    make_train_step,
+)
+
+logger = logging.getLogger(__name__)
+
+
+class TrainContext:
+    """Host-side bundle of everything the loop touches."""
+
+    def __init__(
+        self,
+        *,
+        stage_name: str,
+        out_dir: str,
+        config: Config,
+        model_config: ModelConfig,
+    ):
+        self.config = config
+        self.model_config = model_config
+        self.base_out_dir = Path(out_dir)
+        self.stage_name = stage_name
+        self.out_dir = self.base_out_dir / stage_name
+        self.out_dir.mkdir(parents=True, exist_ok=True)
+
+        self.text_cleaner = TextCleaner(model_config.symbol)
+        self.models = build_models(model_config)
+        self.manifest = Manifest()
+        self.normalization = NormalizationStats()
+        self.writer = None  # tensorboardX SummaryWriter, created lazily
+
+        data_dir = Path(config.dataset.path)
+        train_list = get_data_path_list(data_dir / config.dataset.train_data)
+        val_list = get_data_path_list(data_dir / config.dataset.val_data)
+        self.train_dataset = FilePathDataset(
+            data_list=train_list,
+            root_path=data_dir / config.dataset.wav_path,
+            text_cleaner=self.text_cleaner,
+            model_config=model_config,
+            pitch_path=str(data_dir / config.dataset.pitch_path),
+            alignment_path=str(data_dir / config.dataset.alignment_path),
+        )
+        self.val_dataset = FilePathDataset(
+            data_list=val_list,
+            root_path=data_dir / config.dataset.wav_path,
+            text_cleaner=self.text_cleaner,
+            model_config=model_config,
+            pitch_path=str(data_dir / config.dataset.pitch_path),
+            alignment_path=str(data_dir / config.dataset.alignment_path),
+        )
+        self.batch_manager: Optional[BatchManager] = None
+
+    # -- normalisation bootstrap ---------------------------------------- #
+
+    def init_normalization(self) -> None:
+        """checkpoint → json → compute (reference train_context.py:191-331)."""
+        norm_file = self.out_dir / "normalization.json"
+        if self.normalization.frames > 0:
+            norm_file.write_text(json.dumps(self.normalization.__dict__))
+            return
+        if norm_file.is_file():
+            data = json.loads(norm_file.read_text())
+            for k, v in data.items():
+                setattr(self.normalization, k, v)
+            if self.normalization.frames > 0:
+                return
+        self.compute_normalization()
+        norm_file.write_text(json.dumps(self.normalization.__dict__))
+
+    def compute_normalization(self) -> None:
+        mc = self.model_config
+        to_mel = MelSpectrogram(
+            n_mels=mc.n_mels, n_fft=mc.n_fft, win_length=mc.win_length,
+            hop_length=mc.hop_length, sample_rate=mc.sample_rate,
+        )
+
+        @jax.jit
+        def stats(wave):
+            mel = to_mel(wave)
+            log_mel = jnp.log(1e-5 + mel)
+            return log_mel.sum(), (log_mel**2).sum(), log_mel.size
+
+        total, total2, count = 0.0, 0.0, 0
+        for i in range(len(self.train_dataset)):
+            item = self.train_dataset.load_item(i)
+            s, s2, n = stats(jnp.asarray(item["wave"])[None])
+            total += float(s)
+            total2 += float(s2)
+            count += int(n)
+        if count > 0:
+            mean = total / count
+            var = (total2 - count * mean * mean) / max(count - 1, 1)
+            self.normalization.mel_log_mean = float(mean)
+            self.normalization.mel_log_std = float(np.sqrt(max(var, 1e-12)))
+            self.normalization.frames = count
+        # dataset-wide log2-F0 stats (train_context.py:210-214)
+        voiced = [
+            p[p > 0].ravel() for p in self.train_dataset.pitch.values()
+        ]
+        if voiced:
+            allf0 = np.log2(np.concatenate(voiced))
+            self.normalization.f0_log2_mean = float(allf0.mean())
+            self.normalization.f0_log2_std = float(allf0.std())
+
+
+def select_val_samples(val_dataset, count: int):
+    """Deterministic sample selection by blake2b hash of the path
+    (reference train/train.py:134-148)."""
+    scored = [
+        (hashlib.blake2b(seg.wav_path.encode(), digest_size=8).hexdigest(), i)
+        for i, seg in enumerate(val_dataset.segments)
+    ]
+    return [i for _, i in sorted(scored)[:count]]
+
+
+def train_model(
+    *,
+    config: Config,
+    model_config: ModelConfig,
+    out_dir: str,
+    stage_name: str = "acoustic",
+    checkpoint: Optional[str] = None,
+    max_steps: Optional[int] = None,
+) -> Manifest:
+    """Multi-stage training with auto-advance.  Returns the final manifest."""
+    ctx = TrainContext(
+        stage_name=stage_name,
+        out_dir=out_dir,
+        config=config,
+        model_config=model_config,
+    )
+    try:
+        from tensorboardX import SummaryWriter
+
+        ctx.writer = SummaryWriter(str(ctx.out_dir / "tensorboard"))
+    except Exception:
+        ctx.writer = None
+
+    rng = jax.random.PRNGKey(0)
+    variables = init_model_variables(ctx.models, model_config, rng)
+    state = build_train_state(variables, model_config)
+    slm_params = init_slm_params(jax.random.PRNGKey(7))
+
+    if checkpoint:
+        state, ctx.manifest, ctx.normalization, _ = load_checkpoint(
+            checkpoint, state
+        )
+        logger.info("restored checkpoint %s", checkpoint)
+
+    current = stage_name
+    while current is not None:
+        ctx.stage_name = current
+        ctx.out_dir = ctx.base_out_dir / current
+        ctx.out_dir.mkdir(parents=True, exist_ok=True)
+        plan = config.training_plan.get_stage(current)
+        ctx.batch_manager = BatchManager(
+            ctx.train_dataset,
+            ctx.out_dir,
+            current,
+            probe_batch_max=plan.probe_batch_max,
+        )
+        ctx.init_normalization()
+        steps_per_epoch = ctx.batch_manager.steps_per_epoch()
+        step_limit = max(steps_per_epoch * plan.epochs, 1)
+        ctx.manifest.steps_per_epoch = steps_per_epoch
+
+        stage_ctx = StageContext(
+            models=ctx.models,
+            model_config=model_config,
+            config=config,
+            mel_mean=ctx.normalization.mel_log_mean,
+            mel_std=ctx.normalization.mel_log_std,
+            step_limit=step_limit,
+            duration_class_weight=jnp.asarray(
+                ctx.train_dataset.duration_weights
+            ),
+            slm_params=slm_params,
+        )
+        step_fn = jax.jit(
+            make_train_step(current, stage_ctx, plan.lr), donate_argnums=(0,)
+        )
+        eval_fn = jax.jit(make_eval_step(current, stage_ctx))
+        val_manager = BatchManager(
+            ctx.val_dataset, ctx.out_dir, current,
+            probe_batch_max=plan.probe_batch_max,
+        )
+        val_samples = select_val_samples(
+            ctx.val_dataset, config.validation.sample_count
+        )
+
+        state = state.replace(step=jnp.zeros((), jnp.int32))
+        logs = []
+        start_epoch = ctx.manifest.current_epoch if ctx.manifest.stage == current else 0
+        ctx.manifest.stage = current
+        done = False
+        for epoch in range(start_epoch, plan.epochs):
+            ctx.manifest.current_epoch = epoch + 1
+            iterator = ctx.batch_manager.epoch_iterator(
+                stage=current, epoch=epoch + 1,
+            )
+            for batch in iterator:
+                rng, step_rng = jax.random.split(rng)
+                device_batch = {
+                    k: jnp.asarray(v)
+                    for k, v in batch.items()
+                    if k not in ("paths", "bin")
+                }
+                state, metrics = step_fn(state, device_batch, step_rng)
+                ctx.manifest.current_step += 1
+                ctx.manifest.current_total_step += 1
+                ctx.manifest.total_trained_audio_seconds += (
+                    batch["audio_gt"].shape[0]
+                    * batch["audio_gt"].shape[1]
+                    / model_config.sample_rate
+                )
+                logs.append({k: float(v) for k, v in metrics.items()})
+                step = ctx.manifest.current_total_step
+                if step % config.training.log_interval == 0:
+                    combined = combine_metrics(logs)
+                    logs = []
+                    total = combined.pop("loss", 0.0)
+                    logger.info(
+                        "[%s] epoch %d step %d %s", current,
+                        ctx.manifest.current_epoch, step,
+                        format_metrics(combined, total),
+                    )
+                    if ctx.writer:
+                        ctx.writer.add_scalar("train/loss", total, step)
+                        for k, v in combined.items():
+                            ctx.writer.add_scalar(f"train/{k}", v, step)
+                if step % config.training.val_interval == 0:
+                    _validate(
+                        ctx, state, eval_fn, val_manager, current, rng,
+                        val_samples,
+                    )
+                if step % config.training.save_interval == 0:
+                    _save(ctx, state, config, model_config)
+                if max_steps and ctx.manifest.current_total_step >= max_steps:
+                    done = True
+                    break
+            if STAGES[current].uses_priors:
+                state = end_alignment_epoch(state)
+            if done:
+                break
+
+        if current == "alignment":
+            save_model_safetensors(
+                ctx.base_out_dir / "alignment_model.safetensors",
+                state.params["text_aligner"],
+            )
+        _save(ctx, state, config, model_config, final=True)
+        if done:
+            break
+        current = STAGES[current].next_stage
+        ctx.manifest.current_step = 0
+        ctx.manifest.current_epoch = 0
+    return ctx.manifest
+
+
+def _validate(ctx, state, eval_fn, val_manager, stage, rng, val_samples):
+    """Run the eval step over the val set; log metrics and write audio/mel
+    artifacts for the deterministic sample set (reference
+    train/stage.py:131-303)."""
+    logs = []
+    samples_written = 0
+    step = ctx.manifest.current_total_step
+    for batch in val_manager.epoch_iterator(
+        stage=stage, epoch=0, shuffle=False, jitter=False,
+    ):
+        device_batch = {
+            k: jnp.asarray(v)
+            for k, v in batch.items()
+            if k not in ("paths", "bin")
+        }
+        metrics, audio_pred = eval_fn(state, device_batch, rng)
+        logs.append({k: float(v) for k, v in metrics.items()})
+        if (
+            ctx.writer is not None
+            and audio_pred is not None
+            and samples_written < len(val_samples)
+        ):
+            audio = np.asarray(audio_pred[0])
+            ctx.writer.add_audio(
+                f"eval/sample_{samples_written}", audio, step,
+                sample_rate=ctx.model_config.sample_rate,
+            )
+            samples_written += 1
+    combined = combine_metrics(logs)
+    total = combined.pop("loss", 0.0)
+    logger.info(
+        "Validation step %d: %s", step, format_metrics(combined, total)
+    )
+    if total < ctx.manifest.best_loss:
+        ctx.manifest.best_loss = total
+    if ctx.writer is not None:
+        ctx.writer.add_scalar("eval/loss", total, step)
+        for k, v in combined.items():
+            ctx.writer.add_scalar(f"eval/{k}", v, step)
+
+
+def _save(ctx, state, config, model_config, final=False):
+    name = (
+        "checkpoint_final"
+        if final
+        else checkpoint_name(
+            ctx.manifest.current_epoch, ctx.manifest.current_total_step
+        )
+    )
+    save_checkpoint(
+        ctx.out_dir, name, state, ctx.manifest, ctx.normalization,
+        config.model_dump_json(), model_config.model_dump_json(),
+    )
+    logger.info("saved %s", ctx.out_dir / name)

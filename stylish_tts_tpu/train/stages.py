@@ -1,0 +1,618 @@
+"""Stage registry: pure train/eval step functions per training stage.
+
+Mirrors the reference stage table (train/stage_type.py:12-1032) —
+alignment → acoustic → textual → style → duration (+ joint) — re-designed
+as a functional pipeline: each stage provides ``compute_losses`` returning
+(metrics, disc_inputs); a generic ``make_train_step`` closes over it and
+handles gradient partitioning, the GAN discriminator pass with the
+gap-aware LR, per-module AdamW updates and the scalar state machines, all
+inside one ``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import losses as L
+from ..config import Config, ModelConfig
+from ..duration import DurationProcessor
+from ..models.slm import SLMFeatureExtractor, slm_feature_loss
+from ..ops import ctc as ctc_ops
+from ..ops.mel import MelSpectrogram, calculate_mel, log_norm_energy
+from ..ops.multi_spectrogram import MultiSpectrogram
+from ..ops.resample import resample
+from .loss_log import backwards_loss, weighted_total
+from .optim import apply_updates, cosine_logical_lr
+from .state import TrainState
+
+
+@dataclass
+class StageContext:
+    """Everything a stage step closes over (static / device constants)."""
+
+    models: Dict[str, Any]
+    model_config: ModelConfig
+    config: Config
+    mel_mean: float
+    mel_std: float
+    step_limit: int                       # steps in this stage (for the LR axis)
+    duration_class_weight: jnp.ndarray = None
+    slm_params: Any = None                # frozen SLM feature extractor params
+
+    def __post_init__(self):
+        mc = self.model_config
+        self.to_mel = MelSpectrogram(
+            n_mels=mc.n_mels, n_fft=mc.n_fft, win_length=mc.win_length,
+            hop_length=mc.hop_length, sample_rate=mc.sample_rate,
+        )
+        self.to_align_mel = MelSpectrogram(
+            n_mels=80, n_fft=mc.n_fft, win_length=mc.win_length,
+            hop_length=mc.hop_length, sample_rate=mc.sample_rate,
+        )
+        self.multi_spectrogram = MultiSpectrogram(mc.sample_rate)
+        self.duration_processor = DurationProcessor(
+            mc.duration_predictor.duration_classes,
+            mc.duration_predictor.max_duration,
+        )
+        self.slm = SLMFeatureExtractor()
+        self.weights = self.config.loss_weight.model_dump()
+
+    # -- convenience wrappers ------------------------------------------- #
+
+    def apply(self, key, params, batch_stats, *args, rngs=None,
+              mutable=False, **kwargs):
+        variables = {"params": params[key]}
+        if batch_stats and key in batch_stats:
+            variables["batch_stats"] = batch_stats[key]
+        out = self.models[key].apply(
+            variables, *args, rngs=rngs,
+            mutable=["batch_stats"] if mutable else False, **kwargs,
+        )
+        return out
+
+    def mel_and_energy(self, audio_gt):
+        mel, mel_length = calculate_mel(
+            audio_gt, self.to_mel, self.mel_mean, self.mel_std
+        )
+        energy = jax.lax.stop_gradient(
+            log_norm_energy(mel, self.mel_mean, self.mel_std)
+        )
+        return mel, mel_length, energy
+
+    def slm_loss(self, audio_gt, audio_pred):
+        sr = self.model_config.sample_rate
+        slm_sr = self.model_config.slm.sr
+        gt16 = resample(jax.lax.stop_gradient(audio_gt), sr, slm_sr)
+        pred16 = resample(audio_pred, sr, slm_sr)
+        gt_states = self.slm.apply({"params": self.slm_params}, gt16)
+        pred_states = self.slm.apply({"params": self.slm_params}, pred16)
+        return slm_feature_loss(gt_states, pred_states)
+
+
+@dataclass
+class StageType:
+    next_stage: Optional[str]
+    compute_losses: Callable
+    train_models: List[str]
+    eval_models: List[str]
+    discriminators: List[str]
+    inputs: List[str]
+    uses_priors: bool = False
+
+
+STAGES: Dict[str, StageType] = {}
+
+
+def is_valid_stage(name: str) -> bool:
+    return name in STAGES
+
+
+def valid_stage_list() -> List[str]:
+    return list(STAGES.keys())
+
+
+# --------------------------------------------------------------------------- #
+# Per-stage loss computations.  Each returns (metrics, disc_inputs, new_collections)
+# where disc_inputs is None or (target_fft_list, pred_fft_list).
+# --------------------------------------------------------------------------- #
+
+
+def _acoustic_losses(ctx: StageContext, params, batch_stats, batch, rngs,
+                     state: TrainState):
+    mel, _, energy = ctx.mel_and_energy(batch["audio_gt"])
+    new_stats = {}
+    pred = ctx.apply(
+        "speech_predictor", params, None,
+        batch["text"], batch["text_length"], batch["alignment"],
+        batch["pitch"], energy, batch["audio_gt"],
+        rngs=rngs, train=True,
+    )
+    pe_enc, _, _ = ctx.apply(
+        "pe_text_encoder", params, None,
+        batch["text"], batch["text_length"], rngs=rngs, train=True,
+    )
+    (pe_mel_style, stats) = ctx.apply(
+        "pe_mel_style_encoder", params, batch_stats, mel,
+        rngs=rngs, mutable=True, update_stats=True,
+    )
+    new_stats["pe_mel_style_encoder"] = stats["batch_stats"]
+    pred_pitch, pred_energy = ctx.apply(
+        "pitch_energy_predictor", params, None,
+        pe_enc, batch["text_length"], batch["alignment"], pe_mel_style,
+        rngs=rngs, train=True,
+    )
+
+    specs = ctx.multi_spectrogram(
+        target=batch["audio_gt"], pred=pred.audio
+    )
+    t_mag, p_mag, _, _, t_fft, p_fft = specs
+    mc = ctx.model_config
+    mag_l, phase_l = L.magphase_loss(
+        pred.magnitude, pred.phase, batch["audio_gt"],
+        n_fft=mc.n_fft, hop_length=mc.hop_length // 4,
+        win_length=mc.win_length,
+    )
+    metrics = {
+        "mel": L.multi_resolution_stft_loss(t_mag, p_mag),
+        "slm": ctx.slm_loss(batch["audio_gt"], pred.audio),
+        "mag": mag_l,
+        "phase": phase_l,
+        "pitch": L.smooth_l1_loss(pred_pitch, batch["pitch"]),
+        "energy": L.smooth_l1_loss(pred_energy, energy),
+    }
+    return metrics, (t_fft, p_fft), new_stats
+
+
+def _textual_losses(ctx, params, batch_stats, batch, rngs, state):
+    mel, _, energy = ctx.mel_and_energy(batch["audio_gt"])
+    new_stats = {}
+    pe_enc, _, _ = ctx.apply(
+        "pe_text_encoder", params, None,
+        batch["text"], batch["text_length"], rngs=rngs, train=True,
+    )
+    (pe_mel_style, stats) = ctx.apply(
+        "pe_mel_style_encoder", params, batch_stats, mel,
+        rngs=rngs, mutable=True, update_stats=True,
+    )
+    new_stats["pe_mel_style_encoder"] = stats["batch_stats"]
+    pred_pitch, pred_energy = ctx.apply(
+        "pitch_energy_predictor", params, None,
+        pe_enc, batch["text_length"], batch["alignment"], pe_mel_style,
+        rngs=rngs, train=True,
+    )
+    pred = ctx.apply(
+        "speech_predictor", params, None,
+        batch["text"], batch["text_length"], batch["alignment"],
+        pred_pitch, pred_energy, None,
+        rngs=rngs, train=False,
+    )
+    t_mag, p_mag, _, _, t_fft, p_fft = ctx.multi_spectrogram(
+        target=batch["audio_gt"], pred=pred.audio
+    )
+    mc = ctx.model_config
+    mag_l, phase_l = L.magphase_loss(
+        pred.magnitude, pred.phase, batch["audio_gt"],
+        n_fft=mc.n_fft, hop_length=mc.hop_length // 4,
+        win_length=mc.win_length,
+    )
+    metrics = {
+        "mel": L.multi_resolution_stft_loss(t_mag, p_mag),
+        "mag": mag_l,
+        "phase": phase_l,
+        "pitch": L.smooth_l1_loss(pred_pitch, batch["pitch"]),
+        "energy": L.smooth_l1_loss(pred_energy, energy),
+    }
+    return metrics, (t_fft, p_fft), new_stats
+
+
+def _style_losses(ctx, params, batch_stats, batch, rngs, state):
+    mel, _, energy = ctx.mel_and_energy(batch["audio_gt"])
+    pe_enc, _, _ = ctx.apply(
+        "pe_text_encoder", params, None,
+        batch["text"], batch["text_length"], rngs=rngs, train=True,
+    )
+    pe_text_style = ctx.apply(
+        "pe_text_style_encoder", params, None, pe_enc, batch["text_length"],
+        rngs=rngs,
+    )
+    pe_mel_style = ctx.apply(
+        "pe_mel_style_encoder", params, batch_stats, mel, rngs=rngs,
+    )
+    pred_pitch, pred_energy = ctx.apply(
+        "pitch_energy_predictor", params, None,
+        pe_enc, batch["text_length"], batch["alignment"], pe_text_style,
+        rngs=rngs, train=True,
+    )
+    metrics = {
+        "style": L.smooth_l1_loss(pe_text_style, pe_mel_style) * 10.0,
+        "pitch": L.smooth_l1_loss(pred_pitch, batch["pitch"]),
+        "energy": L.smooth_l1_loss(pred_energy, energy),
+    }
+    return metrics, None, {}
+
+
+def _duration_losses(ctx, params, batch_stats, batch, rngs, state):
+    targets = ctx.duration_processor.align_to_class(batch["alignment"])
+    pred = ctx.apply(
+        "duration_predictor", params, None,
+        batch["text"], batch["text_length"], rngs=rngs, train=True,
+    )
+    ce, cdw = L.duration_loss(
+        pred, targets, batch["text_length"], ctx.duration_class_weight
+    )
+    return {"duration_ce": ce, "duration": cdw}, None, {}
+
+
+def _alignment_losses(ctx, params, batch_stats, batch, rngs, state):
+    mel, mel_length = calculate_mel(
+        batch["audio_gt"], ctx.to_align_mel, ctx.mel_mean, ctx.mel_std
+    )
+    (log_probs, _), stats = ctx.apply(
+        "text_aligner", params, batch_stats, mel, mel_length,
+        rngs=rngs, train=True, mutable=True,
+    )
+    blank = ctx.model_config.text_encoder.tokens
+    priors = jnp.where(
+        state.priors_initialized, state.log_priors, jnp.zeros_like(state.log_priors)
+    )
+    loss, prior_sum, n_frames = ctc_ops.ctc_loss_with_priors(
+        log_probs, batch["text"], mel_length, batch["text_length"], blank,
+        log_priors=priors, prior_scale=0.3,
+    )
+    metrics = {"align_loss": loss}
+    aux = {
+        "text_aligner": stats["batch_stats"],
+        "__prior_sum": prior_sum,
+        "__prior_frames": n_frames,
+    }
+    return metrics, None, aux
+
+
+def _joint_losses(ctx, params, batch_stats, batch, rngs, state):
+    mel, _, energy = ctx.mel_and_energy(batch["audio_gt"])
+    new_stats = {}
+    (pe_mel_style, stats) = ctx.apply(
+        "pe_mel_style_encoder", params, batch_stats, mel, rngs=rngs,
+        mutable=True, update_stats=False,
+    )
+    new_stats["pe_mel_style_encoder"] = stats["batch_stats"]
+    pe_enc, _, _ = ctx.apply(
+        "pe_text_encoder", params, None,
+        batch["text"], batch["text_length"], rngs=rngs, train=True,
+    )
+    pe_text_style = ctx.apply(
+        "pe_text_style_encoder", params, None, pe_enc, batch["text_length"],
+        rngs=rngs,
+    )
+    pred_pitch, pred_energy = ctx.apply(
+        "pitch_energy_predictor", params, None,
+        pe_enc, batch["text_length"], batch["alignment"], pe_text_style,
+        rngs=rngs, train=True,
+    )
+    pred = ctx.apply(
+        "speech_predictor", params, None,
+        batch["text"], batch["text_length"], batch["alignment"],
+        pred_pitch, pred_energy, batch["audio_gt"],
+        rngs=rngs, train=True,
+    )
+    t_mag, p_mag, _, _, t_fft, p_fft = ctx.multi_spectrogram(
+        target=batch["audio_gt"], pred=pred.audio
+    )
+    mc = ctx.model_config
+    mag_l, phase_l = L.magphase_loss(
+        pred.magnitude, pred.phase, batch["audio_gt"],
+        n_fft=mc.n_fft, hop_length=mc.hop_length // 4,
+        win_length=mc.win_length,
+    )
+    metrics = {
+        "mel": L.multi_resolution_stft_loss(t_mag, p_mag),
+        "slm": ctx.slm_loss(batch["audio_gt"], pred.audio),
+        "mag": mag_l,
+        "phase": phase_l,
+        "style": L.smooth_l1_loss(pe_text_style, pe_mel_style) * 10.0,
+        "pitch": L.smooth_l1_loss(pred_pitch, batch["pitch"]),
+        "energy": L.smooth_l1_loss(pred_energy, energy),
+    }
+    return metrics, (t_fft, p_fft), new_stats
+
+
+STAGES["alignment"] = StageType(
+    next_stage=None,
+    compute_losses=_alignment_losses,
+    train_models=["text_aligner"],
+    eval_models=[],
+    discriminators=[],
+    inputs=["text", "text_length", "audio_gt"],
+    uses_priors=True,
+)
+STAGES["acoustic"] = StageType(
+    next_stage="textual",
+    compute_losses=_acoustic_losses,
+    train_models=[
+        "speech_predictor",
+        "pitch_energy_predictor",
+        "pe_text_encoder",
+        "pe_mel_style_encoder",
+    ],
+    eval_models=[],
+    discriminators=["mrd"],
+    inputs=["text", "text_length", "audio_gt", "pitch", "alignment"],
+)
+STAGES["textual"] = StageType(
+    next_stage="style",
+    compute_losses=_textual_losses,
+    train_models=[
+        "pitch_energy_predictor",
+        "pe_text_encoder",
+        "pe_mel_style_encoder",
+    ],
+    eval_models=["speech_predictor"],
+    discriminators=["mrd"],
+    inputs=["text", "text_length", "audio_gt", "pitch", "alignment"],
+)
+STAGES["style"] = StageType(
+    next_stage="duration",
+    compute_losses=_style_losses,
+    train_models=["pe_text_style_encoder"],
+    eval_models=[
+        "pe_mel_style_encoder",
+        "pitch_energy_predictor",
+        "pe_text_encoder",
+        "speech_predictor",
+    ],
+    discriminators=[],
+    inputs=["text", "text_length", "audio_gt", "pitch", "alignment"],
+)
+STAGES["duration"] = StageType(
+    next_stage=None,
+    compute_losses=_duration_losses,
+    train_models=["duration_predictor"],
+    eval_models=[
+        "pitch_energy_predictor",
+        "speech_predictor",
+        "pe_text_encoder",
+        "pe_text_style_encoder",
+    ],
+    discriminators=[],
+    inputs=["text", "text_length", "alignment", "audio_gt"],
+)
+STAGES["joint"] = StageType(
+    next_stage=None,
+    compute_losses=_joint_losses,
+    train_models=[
+        "pe_text_style_encoder",
+        "pitch_energy_predictor",
+        "pe_text_encoder",
+        "speech_predictor",
+    ],
+    eval_models=["pe_mel_style_encoder"],
+    discriminators=["mrd"],
+    inputs=["text", "text_length", "audio_gt", "pitch", "alignment"],
+)
+
+
+# --------------------------------------------------------------------------- #
+# Generic train step
+# --------------------------------------------------------------------------- #
+
+
+def make_train_step(stage_name: str, ctx: StageContext, base_lr: float):
+    """Build the jittable train step for a stage.
+
+    step(state, batch, rng) -> (new_state, metrics_dict)
+
+    The GAN stages run two passes inside the same compiled function:
+    generator update (disc frozen) then discriminator update on detached
+    spectrogram images with loss scaled by √batch (reference
+    train/stage.py:100-129) at LR = gen_lr × gap multiplier."""
+    stage = STAGES[stage_name]
+    has_disc = len(stage.discriminators) > 0
+
+    def step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
+        rng_d, rng_s = jax.random.split(rng)
+        rngs = {"dropout": rng_d, "sample": rng_s}
+        train_params = {k: state.params[k] for k in stage.train_models}
+        frozen = {
+            k: v for k, v in state.params.items()
+            if k not in stage.train_models
+        }
+
+        def loss_fn(tp):
+            params = {**frozen, **tp}
+            metrics, disc_inputs, aux = stage.compute_losses(
+                ctx, params, state.batch_stats, batch, rngs, state
+            )
+            if has_disc:
+                t_fft, p_fft = disc_inputs
+                real_s, gen_s, real_f, gen_f = ctx.models["mrd"].apply(
+                    {"params": jax.lax.stop_gradient(params["mrd"])},
+                    t_fft, p_fft,
+                )
+                metrics = dict(metrics)
+                metrics["generator"] = L.generator_adversarial_loss(
+                    real_s, gen_s, real_f, gen_f
+                )
+            total = backwards_loss(metrics, ctx.weights)
+            return total, (metrics, disc_inputs, aux)
+
+        (_, (metrics, disc_inputs, aux)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(train_params)
+
+        lr = cosine_logical_lr(base_lr, state.step, ctx.step_limit)
+        new_params = dict(state.params)
+        new_opt = dict(state.opt_states)
+        for key in stage.train_models:
+            new_params[key], new_opt[key] = apply_updates(
+                state.params[key], grads[key], state.opt_states[key], lr
+            )
+
+        new_batch_stats = dict(state.batch_stats)
+        for key, value in aux.items():
+            if not key.startswith("__"):
+                new_batch_stats[key] = value
+
+        new_ema = dict(state.disc_ema)
+        if has_disc:
+            t_fft, p_fft = disc_inputs
+            t_fft = jax.tree_util.tree_map(jax.lax.stop_gradient, t_fft)
+            p_fft = jax.tree_util.tree_map(jax.lax.stop_gradient, p_fft)
+            batch_size = batch["text"].shape[0]
+
+            def disc_loss_fn(dp):
+                real_s, gen_s, _, _ = ctx.models["mrd"].apply(
+                    {"params": dp}, t_fft, p_fft
+                )
+                total, plain = L.discriminator_loss(real_s, gen_s)
+                return total * math.sqrt(batch_size), (total, plain)
+
+            dgrads, (d_total, d_plain) = jax.grad(
+                disc_loss_fn, has_aux=True
+            )(new_params["mrd"])
+            multiplier = L.disc_lr_multiplier(state.disc_ema["mrd"])
+            new_params["mrd"], new_opt["mrd"] = apply_updates(
+                new_params["mrd"], dgrads, state.opt_states["mrd"],
+                lr * multiplier,
+            )
+            new_ema["mrd"] = state.disc_ema["mrd"] * 0.95 + d_plain * 0.05
+            metrics = dict(metrics)
+            metrics["discriminator"] = d_total
+
+        updates = dict(
+            params=new_params,
+            opt_states=new_opt,
+            batch_stats=new_batch_stats,
+            disc_ema=new_ema,
+            step=state.step + 1,
+        )
+        if stage.uses_priors:
+            updates["prior_sum"] = jnp.logaddexp(
+                state.prior_sum, aux["__prior_sum"]
+            )
+            updates["prior_frames"] = state.prior_frames + aux["__prior_frames"]
+        new_state = state.replace(**updates)
+        metrics_out = dict(metrics)
+        metrics_out["loss"] = weighted_total(metrics, ctx.weights)
+        return new_state, metrics_out
+
+    return step
+
+
+def make_eval_step(stage_name: str, ctx: StageContext):
+    """Jitted validation step: (state, batch, rng) -> (metrics, audio_pred).
+
+    Mirrors the reference validate_* functions (stage_type.py:78-111,
+    195-229, 306-337, 400-437, 483-523): no parameter updates, losses on
+    the stage's inference composition, plus synthesized audio for
+    TensorBoard samples where the stage produces audio."""
+    stage = STAGES[stage_name]
+
+    def step(state: TrainState, batch, rng):
+        rngs = {"dropout": rng, "sample": rng}
+        params = state.params
+        metrics: Dict[str, jax.Array] = {}
+        audio_pred = None
+        if stage_name == "alignment":
+            mel, mel_length = calculate_mel(
+                batch["audio_gt"], ctx.to_align_mel, ctx.mel_mean, ctx.mel_std
+            )
+            log_probs, _ = ctx.apply(
+                "text_aligner", params, state.batch_stats, mel, mel_length,
+            )
+            blank = ctx.model_config.text_encoder.tokens
+            loss = ctc_ops.ctc_loss(
+                log_probs, batch["text"], mel_length, batch["text_length"],
+                blank,
+            )
+            _, scores = ctc_ops.forced_align(
+                log_probs, batch["text"], mel_length, batch["text_length"],
+                blank,
+            )
+            frame_valid = (
+                jnp.arange(scores.shape[1])[None] < mel_length[:, None]
+            )
+            confidence = jnp.sum(jnp.exp(scores) * frame_valid) / jnp.sum(
+                frame_valid
+            )
+            metrics = {"align_loss": loss, "confidence": confidence}
+        elif stage_name in ("acoustic", "textual", "style", "joint"):
+            mel, _, energy = ctx.mel_and_energy(batch["audio_gt"])
+            pe_enc, _, _ = ctx.apply(
+                "pe_text_encoder", params, None,
+                batch["text"], batch["text_length"],
+            )
+            pe_mel_style = ctx.apply(
+                "pe_mel_style_encoder", params, state.batch_stats, mel,
+            )
+            if stage_name in ("style", "joint"):
+                style_vec = ctx.apply(
+                    "pe_text_style_encoder", params, None, pe_enc,
+                    batch["text_length"],
+                )
+            else:
+                style_vec = pe_mel_style
+            pred_pitch, pred_energy = ctx.apply(
+                "pitch_energy_predictor", params, None,
+                pe_enc, batch["text_length"], batch["alignment"], style_vec,
+            )
+            if stage_name == "acoustic":
+                use_pitch, use_energy = batch["pitch"], energy
+            else:
+                use_pitch, use_energy = pred_pitch, pred_energy
+            pred = ctx.apply(
+                "speech_predictor", params, None,
+                batch["text"], batch["text_length"], batch["alignment"],
+                use_pitch, use_energy, None, rngs={"sample": rng},
+            )
+            t_mag, p_mag, _, _, _, _ = ctx.multi_spectrogram(
+                target=batch["audio_gt"], pred=pred.audio
+            )
+            metrics = {
+                "mel": L.multi_resolution_stft_loss(t_mag, p_mag),
+                "pitch": L.smooth_l1_loss(pred_pitch, batch["pitch"]),
+                "energy": L.smooth_l1_loss(pred_energy, energy),
+            }
+            if stage_name in ("style", "joint"):
+                metrics["style"] = (
+                    L.smooth_l1_loss(style_vec, pe_mel_style) * 10.0
+                )
+            audio_pred = pred.audio
+        elif stage_name == "duration":
+            targets = ctx.duration_processor.align_to_class(batch["alignment"])
+            pred = ctx.apply(
+                "duration_predictor", params, None,
+                batch["text"], batch["text_length"],
+            )
+            ce, cdw = L.duration_loss(
+                pred, targets, batch["text_length"], ctx.duration_class_weight
+            )
+            metrics = {"duration_ce": ce, "duration": cdw}
+        metrics["loss"] = weighted_total(metrics, ctx.weights)
+        return metrics, audio_pred
+
+    return step
+
+
+def end_alignment_epoch(state: TrainState, axis_name: Optional[str] = None):
+    """Epoch-end CTC prior update.  Under a mesh, accumulators reduce over
+    the data axis (the reference's accelerator.gather, losses.py:603-611)."""
+    prior_sum = state.prior_sum
+    frames = state.prior_frames
+    if axis_name is not None:
+        prior_sum = jax.lax.psum(jnp.exp(prior_sum), axis_name)
+        prior_sum = jnp.log(prior_sum + 1e-30)
+        frames = jax.lax.psum(frames, axis_name)
+    new_priors = ctc_ops.update_log_priors(
+        prior_sum, jnp.log(frames + 1e-9)
+    )
+    return state.replace(
+        log_priors=new_priors,
+        prior_sum=jnp.full_like(state.prior_sum, -1e30),
+        prior_frames=jnp.zeros_like(state.prior_frames),
+        priors_initialized=jnp.ones_like(state.priors_initialized),
+    )

@@ -1,0 +1,133 @@
+"""End-to-end integration: synthetic dataset -> every training stage ->
+inference.  Heavy compiles — marked slow; run on TPU (or patient CPU)."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+def make_synthetic_dataset(root: Path, n_segments: int = 6):
+    """Tiny sine-speech dataset with pitch + alignment caches."""
+    from safetensors.numpy import save_file
+    from scipy.io import wavfile
+
+    sr, hop = 24000, 300
+    rng = np.random.default_rng(0)
+    (root / "wav24").mkdir(parents=True, exist_ok=True)
+    phon_pool = list("abcdefghijklmnop")
+    lines = []
+    pitch_map, align_map = {}, {}
+    for i in range(n_segments):
+        frames = int(rng.integers(24, 40))  # 0.3-0.5 s
+        n = frames * hop + int(rng.integers(0, hop))
+        f0 = 120.0 + 40.0 * rng.random()
+        t = np.arange(n) / sr
+        wave = 0.4 * np.sin(2 * np.pi * f0 * t) * (
+            0.5 + 0.5 * np.sin(2 * np.pi * 3.0 * t)
+        ) + 0.01 * rng.standard_normal(n)
+        name = f"seg_{i}.wav"
+        wavfile.write(
+            root / "wav24" / name, sr, (wave * 32767).astype(np.int16)
+        )
+        n_ph = int(rng.integers(4, 9))
+        phonemes = "".join(rng.choice(phon_pool, n_ph))
+        lines.append(f"{name}|{phonemes}|0|{phonemes}")
+        n_frames = n // hop + 1
+        pitch_map[name] = np.full(n_frames, f0, np.float32)
+        # alignment over bracketed text (n_ph + 2 pads)
+        tokens = n_ph + 2
+        # bin frame count (padded): ((n//hop)-20)//20*20+60
+        bin_num = (n // hop - 20) // 20
+        frame_count = bin_num * 20 + 60
+        base = frame_count // tokens
+        durs = np.full(tokens, base, np.float32)
+        durs[-1] += frame_count - base * tokens
+        align_map[name] = np.stack(
+            [durs, np.full(tokens, 0.2, np.float32),
+             np.full(tokens, 0.2, np.float32)]
+        )
+    (root / "train-list.txt").write_text("\n".join(lines[:-2]))
+    (root / "val-list.txt").write_text("\n".join(lines[-2:]))
+    save_file(pitch_map, str(root / "pitch.safetensors"))
+    save_file(align_map, str(root / "alignment.safetensors"))
+
+
+@pytest.fixture(scope="module")
+def tiny_setup(tmp_path_factory):
+    from stylish_tts_tpu.config import Config, ModelConfig
+
+    root = tmp_path_factory.mktemp("dataset")
+    make_synthetic_dataset(root)
+    config = Config()
+    config.dataset.path = str(root)
+    config.training.log_interval = 1
+    config.training.val_interval = 1000
+    config.training.save_interval = 1000
+    mc = ModelConfig()
+    mc.text_encoder.layers = 1
+    mc.text_encoder.hidden_dim = 64
+    mc.text_encoder.filter_channels = 128
+    mc.inter_dim = 64
+    mc.style_dim = 32
+    mc.decoder.hidden_dim = 128
+    mc.decoder.residual_dim = 32
+    mc.generator.input_dim = 128
+    mc.generator.hidden_dim = 128
+    mc.generator.conv_intermediate_dim = 256
+    return root, config, mc
+
+
+def test_alignment_then_acoustic_stage(tiny_setup, tmp_path):
+    from stylish_tts_tpu.train.loop import train_model
+
+    root, config, mc = tiny_setup
+    out = tmp_path / "out"
+    manifest = train_model(
+        config=config, model_config=mc, out_dir=str(out),
+        stage_name="alignment", max_steps=2,
+    )
+    assert manifest.current_total_step >= 2
+    assert (out / "alignment_model.safetensors").is_file()
+
+    manifest = train_model(
+        config=config, model_config=mc, out_dir=str(out),
+        stage_name="acoustic", max_steps=2,
+    )
+    assert manifest.current_total_step >= 2
+    assert (out / "acoustic" / "checkpoint_final" / "meta.json").is_file()
+
+
+def test_duration_stage_and_inference(tiny_setup, tmp_path):
+    import jax
+
+    from stylish_tts_tpu.export.infer import Synthesizer
+    from stylish_tts_tpu.models import build_models
+    from stylish_tts_tpu.train.init import init_model_variables
+    from stylish_tts_tpu.train.loop import train_model
+
+    root, config, mc = tiny_setup
+    out = tmp_path / "out2"
+    manifest = train_model(
+        config=config, model_config=mc, out_dir=str(out),
+        stage_name="duration", max_steps=2,
+    )
+    assert manifest.current_total_step >= 2
+
+    models = build_models(mc)
+    variables = init_model_variables(
+        models, mc, jax.random.PRNGKey(0),
+        keys=["duration_predictor", "pe_text_encoder",
+              "pe_text_style_encoder", "pitch_energy_predictor",
+              "speech_predictor"],
+    )
+    params = {k: v["params"] for k, v in variables.items()}
+    synth = Synthesizer(mc, params)
+    audio = synth.synthesize("abcdef")
+    assert audio.ndim == 1 and audio.shape[0] > 0
+    assert np.isfinite(audio).all()
+    long = synth.synthesize_longform(["abc", "def"])
+    assert long.shape[0] > 2 * audio.shape[0] * 0  # non-empty concat
