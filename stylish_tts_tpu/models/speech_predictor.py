@@ -70,9 +70,16 @@ class SpeechPredictor(nn.Module):
             name="style_encoder",
         )(text_encoding, text_lengths)
 
-        alignment4 = jnp.repeat(alignment, 4, axis=2)
-        pitch4 = upsample_x4_linear(pitch)
-        energy4 = upsample_x4_linear(energy)
+        # freegan runs at 4x the mel frame rate (hop 75); the ringformer
+        # head upsamples x(4,5) itself with a hop-15 iSTFT (4*5*15 = 300),
+        # so it consumes mel-rate frames directly.
+        use_x4 = mc.generator.type == "freegan"
+        if use_x4:
+            alignment4 = jnp.repeat(alignment, 4, axis=2)
+            pitch4 = upsample_x4_linear(pitch)
+            energy4 = upsample_x4_linear(energy)
+        else:
+            alignment4, pitch4, energy4 = alignment, pitch, energy
 
         asr = jnp.einsum(
             "btc,btf->bfc", text_encoding, alignment4,
@@ -108,7 +115,7 @@ class SpeechPredictor(nn.Module):
                 flow_dim,
                 n_fft=mc.n_fft,
                 win_length=mc.win_length,
-                hop_length=mc.hop_length // 4,
+                hop_length=mc.hop_length // 4 if use_x4 else mc.hop_length,
                 n_layers=12,
                 cond_channels=mc.style_dim,
                 name="posterior_encoder",
@@ -121,9 +128,16 @@ class SpeechPredictor(nn.Module):
         else:
             mel = nn.Dense(mc.decoder.hidden_dim, name="post_flow")(z_text2mel)
 
-        prediction = Generator(mc, name="generator")(
-            mel, style, pitch4, energy4, train=train
-        )
+        if use_x4:
+            prediction = Generator(mc, name="generator")(
+                mel, style, pitch4, energy4, train=train
+            )
+        else:
+            from .ringformer import UpsampleGenerator
+
+            prediction = UpsampleGenerator(mc, name="generator")(
+                mel, style, pitch4, energy4, train=train
+            )
         if audio_gt is not None:
             prediction.text_stats = (z_text, mean_text, logstd_text)
             prediction.text2mel_stats = (

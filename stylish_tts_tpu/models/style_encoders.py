@@ -123,6 +123,15 @@ class MelStyleEncoder(nn.Module):
             )
             dim_in = dim_out
         x = nn.leaky_relu(x, 0.2)
+        # guard: the reference assumes >=5x5 spatial after downsampling
+        # (true for all real buckets, >=60 frames); edge-pad tiny inputs so
+        # the VALID conv never produces an empty tensor.
+        pad_h = max(0, 5 - x.shape[1])
+        pad_w = max(0, 5 - x.shape[2])
+        if pad_h or pad_w:
+            x = jnp.pad(
+                x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)), mode="edge"
+            )
         x = SpectralConv(dim_in, (5, 5), padding="VALID", name="conv_out")(
             x, update_stats=update_stats
         )

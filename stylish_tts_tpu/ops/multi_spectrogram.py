@@ -52,9 +52,14 @@ class MultiSpectrogram:
             audio, n_fft=r.fft, hop_length=r.hop, win_length=r.window
         )
         fft_mag = jnp.sqrt(real * real + imag * imag + 1e-14)
+        voiced = jax.lax.stop_gradient(fft_mag) > 1e-3
+        # guard BOTH branches: arctan2's gradient at (~0, ~0) is inf, and
+        # jnp.where still differentiates the masked branch (NaN * 0 = NaN)
         phase = jnp.where(
-            jax.lax.stop_gradient(fft_mag) > 1e-3,
-            jnp.arctan2(imag, real),
+            voiced,
+            jnp.arctan2(
+                jnp.where(voiced, imag, 1.0), jnp.where(voiced, real, 1.0)
+            ),
             0.0,
         )
         mag = jnp.log1p(
