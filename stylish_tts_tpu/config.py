@@ -180,6 +180,9 @@ class TrainingPlanConfig(BaseModel):
     style: StagePlanConfig = StagePlanConfig(epochs=10, lr=1e-4)
     duration: StagePlanConfig = StagePlanConfig(epochs=10, lr=1e-4)
     joint: StagePlanConfig = StagePlanConfig(epochs=10, lr=1e-4)
+    hubert_acoustic: StagePlanConfig = StagePlanConfig(epochs=20, lr=1e-4)
+    cfm_hubert_mel: StagePlanConfig = StagePlanConfig(epochs=20, lr=1e-4)
+    cfm_hubert_pitch: StagePlanConfig = StagePlanConfig(epochs=20, lr=1e-4)
 
     def get_stage(self, name: str) -> StagePlanConfig:
         if not hasattr(self, name):

@@ -56,12 +56,13 @@ class PitchEnergyPredictor(nn.Module):
         train: bool = False,
     ) -> Tuple[jax.Array, jax.Array]:
         mc = self.config
+        pe_dim = mc.pitch_energy_predictor.inter_dim
         dropout = mc.pitch_energy_predictor.dropout
-        channels = mc.inter_dim + mc.style_dim
+        channels = pe_dim + mc.style_dim
 
         prosody = ProsodyEncoder(
             style_dim=mc.style_dim,
-            d_model=mc.inter_dim,
+            d_model=pe_dim,
             n_layers=3,
             dropout=0.2,
             name="prosody_encoder",

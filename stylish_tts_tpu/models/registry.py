@@ -12,8 +12,15 @@ from typing import Dict
 from flax import linen as nn
 
 from ..config import ModelConfig
+from .cfm_mel_decoder import CfmMelDecoder
+from .cfm_pitch_predictor import CfmPitchPredictor
 from .discriminator import MultiPeriodDiscriminator, MultiResolutionDiscriminator
 from .duration_predictor import DurationPredictor
+from .hubert_encoder import HubertEncoder
+from .hubert_speech_predictor import (
+    HubertPitchEnergyPredictor,
+    HubertSpeechPredictor,
+)
 from .pitch_energy_predictor import PitchEnergyPredictor
 from .speech_predictor import SpeechPredictor
 from .style_encoders import MelStyleEncoder, TextStyleEncoder
@@ -34,6 +41,11 @@ def build_models(model_config: ModelConfig) -> Dict[str, nn.Module]:
         dropout=tc.dropout,
         inter_dim=mc.inter_dim,
     )
+    # the pitch/energy branch runs at its own width (256), reference
+    # models.py:49-58
+    pe_text_encoder_kwargs = dict(
+        text_encoder_kwargs, inter_dim=mc.pitch_energy_predictor.inter_dim
+    )
     return {
         "text_aligner": TextAligner(
             n_mels=80,  # alignment runs on an 80-mel frontend (train_context.py:159-165)
@@ -43,7 +55,7 @@ def build_models(model_config: ModelConfig) -> Dict[str, nn.Module]:
         "duration_predictor": DurationPredictor(mc),
         "pitch_energy_predictor": PitchEnergyPredictor(mc),
         "speech_predictor": SpeechPredictor(mc),
-        "pe_text_encoder": TextEncoder(**text_encoder_kwargs),
+        "pe_text_encoder": TextEncoder(**pe_text_encoder_kwargs),
         "pe_text_style_encoder": TextStyleEncoder(
             style_dim=mc.style_dim, n_layers=mc.style_encoder.layers
         ),
@@ -54,4 +66,16 @@ def build_models(model_config: ModelConfig) -> Dict[str, nn.Module]:
         ),
         "mrd": MultiResolutionDiscriminator(resolution_count=3),
         "mpd": MultiPeriodDiscriminator(),
+        "hubert_encoder": HubertEncoder(mc),
+        "cfm_mel_decoder": CfmMelDecoder(
+            feat_dim=mc.n_mels,
+            asr_dim=mc.hubert.hidden_dim,
+            spk_dim=mc.speaker_embedder.hidden_dim,
+            hidden_dim=mc.decoder.hidden_dim,
+        ),
+        "cfm_pitch_predictor": CfmPitchPredictor(
+            asr_dim=mc.hubert.hidden_dim, n_mels=mc.n_mels
+        ),
+        "hubert_speech_predictor": HubertSpeechPredictor(mc),
+        "hubert_pitch_energy_predictor": HubertPitchEnergyPredictor(mc),
     }

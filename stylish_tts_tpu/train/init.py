@@ -31,28 +31,44 @@ def init_model_variables(
     b, t, f = 1, INIT_T, INIT_F
     tokens = jnp.zeros((b, t), jnp.int32)
     lengths = jnp.full((b,), t, jnp.int32)
+    frame_lengths = jnp.full((b,), f, jnp.int32)
     align = jnp.zeros((b, t, f)).at[:, 0].set(1.0)
     pitch = jnp.full((b, f), 100.0)
     energy = jnp.ones((b, f))
     audio = jnp.zeros((b, f * mc.hop_length))
     mel = jnp.zeros((b, f, mc.n_mels))
     mel80 = jnp.zeros((b, f, 80))
-    inter = jnp.zeros((b, t, mc.inter_dim))
+    pe_dim = mc.pitch_energy_predictor.inter_dim
+    pe_inter = jnp.zeros((b, t, pe_dim))
     style = jnp.zeros((b, mc.style_dim))
     spec_images = [
         jnp.zeros((b, r // 2 + 1, f, 1)) for r in (512, 1024, 2048)
     ]
+    hubert_feats = jnp.zeros((b, f, mc.hubert.hidden_dim))
+    spk_emb = jnp.zeros((b, mc.speaker_embedder.hidden_dim))
+    timesteps = jnp.zeros((b,))
 
     init_args = {
         "text_aligner": (mel80, lengths),
         "duration_predictor": (tokens, lengths),
-        "pitch_energy_predictor": (inter, lengths, align, style),
+        "pitch_energy_predictor": (pe_inter, lengths, align, style),
         "speech_predictor": (tokens, lengths, align, pitch, energy, audio),
         "pe_text_encoder": (tokens, lengths),
-        "pe_text_style_encoder": (inter, lengths),
+        "pe_text_style_encoder": (pe_inter, lengths),
         "pe_mel_style_encoder": (mel,),
         "mrd": (spec_images, spec_images),
         "mpd": (audio, audio),
+        "hubert_encoder": (hubert_feats, frame_lengths),
+        "cfm_mel_decoder": (
+            mel, timesteps, hubert_feats, pitch, energy, spk_emb,
+        ),
+        "cfm_pitch_predictor": (hubert_feats, mel),
+        "hubert_speech_predictor": (
+            hubert_feats, frame_lengths, spk_emb, pitch, energy, audio,
+        ),
+        "hubert_pitch_energy_predictor": (
+            hubert_feats, frame_lengths, spk_emb,
+        ),
     }
     out: Dict[str, Dict[str, Any]] = {}
     for i, key in enumerate(keys if keys is not None else models.keys()):
@@ -66,6 +82,26 @@ def init_slm_params(rng: jax.Array) -> Any:
     """Frozen random-feature SLM (see models/slm.py)."""
     slm = SLMFeatureExtractor()
     return slm.init({"params": rng}, jnp.zeros((1, 1600)))["params"]
+
+
+def init_ssl_params(rng: jax.Array, mc: ModelConfig):
+    """Frozen HuBERT + speaker-embedder params for the hubert/CFM stages
+    (see models/ssl.py — loadable from converted checkpoints on disk)."""
+    from ..models.ssl import AdaptiveHubert, SpeakerEmbeddingModel
+
+    k1, k2 = jax.random.split(rng)
+    hubert = AdaptiveHubert(
+        model_sr=mc.sample_rate, hubert_sr=mc.hubert.sr,
+        proj_dim=mc.hubert.hidden_dim,
+    )
+    hubert_p = hubert.init(
+        {"params": k1}, jnp.zeros((1, 4800)), 12
+    )["params"]
+    spk = SpeakerEmbeddingModel(
+        model_sr=mc.sample_rate, hidden_dim=mc.speaker_embedder.hidden_dim
+    )
+    spk_p = spk.init({"params": k2}, jnp.zeros((1, 4800)))["params"]
+    return hubert_p, spk_p
 
 
 def build_train_state(

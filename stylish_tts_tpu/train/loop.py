@@ -37,7 +37,12 @@ from .checkpoint import (
     save_checkpoint,
     save_model_safetensors,
 )
-from .init import build_train_state, init_model_variables, init_slm_params
+from .init import (
+    build_train_state,
+    init_model_variables,
+    init_slm_params,
+    init_ssl_params,
+)
 from .loss_log import combine_metrics, format_metrics
 from .stages import (
     STAGES,
@@ -209,6 +214,7 @@ def train_model(
         step_limit = max(steps_per_epoch * plan.epochs, 1)
         ctx.manifest.steps_per_epoch = steps_per_epoch
 
+        needs_ssl = current.startswith(("hubert", "cfm"))
         stage_ctx = StageContext(
             models=ctx.models,
             model_config=model_config,
@@ -220,6 +226,12 @@ def train_model(
                 ctx.train_dataset.duration_weights
             ),
             slm_params=slm_params,
+            ssl_params=(
+                init_ssl_params(jax.random.PRNGKey(11), model_config)
+                if needs_ssl else None
+            ),
+            f0_log2_mean=ctx.normalization.f0_log2_mean,
+            f0_log2_std=ctx.normalization.f0_log2_std,
         )
         step_fn = jax.jit(
             make_train_step(current, stage_ctx, plan.lr), donate_argnums=(0,)

@@ -21,7 +21,9 @@ import jax.numpy as jnp
 from .. import losses as L
 from ..config import Config, ModelConfig
 from ..duration import DurationProcessor
+from ..models.cfm import CfmSampler
 from ..models.slm import SLMFeatureExtractor, slm_feature_loss
+from ..models.ssl import AdaptiveHubert, SpeakerEmbeddingModel
 from ..ops import ctc as ctc_ops
 from ..ops.mel import MelSpectrogram, calculate_mel, log_norm_energy
 from ..ops.multi_spectrogram import MultiSpectrogram
@@ -43,6 +45,9 @@ class StageContext:
     step_limit: int                       # steps in this stage (for the LR axis)
     duration_class_weight: jnp.ndarray = None
     slm_params: Any = None                # frozen SLM feature extractor params
+    ssl_params: Any = None                # frozen (hubert, speaker) params
+    f0_log2_mean: float = 7.0
+    f0_log2_std: float = 1.0
 
     def __post_init__(self):
         mc = self.model_config
@@ -60,6 +65,15 @@ class StageContext:
             mc.duration_predictor.max_duration,
         )
         self.slm = SLMFeatureExtractor()
+        self.hubert = AdaptiveHubert(
+            model_sr=mc.sample_rate,
+            hubert_sr=mc.hubert.sr,
+            proj_dim=mc.hubert.hidden_dim,
+        )
+        self.speaker_embedder = SpeakerEmbeddingModel(
+            model_sr=mc.sample_rate,
+            hidden_dim=mc.speaker_embedder.hidden_dim,
+        )
         self.weights = self.config.loss_weight.model_dump()
 
     # -- convenience wrappers ------------------------------------------- #
@@ -83,6 +97,18 @@ class StageContext:
             log_norm_energy(mel, self.mel_mean, self.mel_std)
         )
         return mel, mel_length, energy
+
+    def ssl_features(self, audio_gt, time_dim):
+        """Frozen HuBERT phone features + speaker embedding
+        (reference pred_ssl_features, stage_type.py:685-688)."""
+        hubert_p, spk_p = self.ssl_params
+        phones = self.hubert.apply(
+            {"params": hubert_p}, jax.lax.stop_gradient(audio_gt), time_dim
+        )
+        spk = self.speaker_embedder.apply(
+            {"params": spk_p}, jax.lax.stop_gradient(audio_gt)
+        )
+        return jax.lax.stop_gradient(phones), jax.lax.stop_gradient(spk)
 
     def slm_loss(self, audio_gt, audio_pred):
         sr = self.model_config.sample_rate
@@ -319,6 +345,117 @@ def _joint_losses(ctx, params, batch_stats, batch, rngs, state):
         "energy": L.smooth_l1_loss(pred_energy, energy),
     }
     return metrics, (t_fft, p_fft), new_stats
+
+
+def norm_f0_zscore(f0, unvoiced, mean, std):
+    """log2 z-score F0 normalisation, unvoiced pinned to 0
+    (stage_type.py:784-798)."""
+    normed = (jnp.log2(f0 + 1e-8) - mean) / std
+    return jnp.where(unvoiced, 0.0, normed)
+
+
+def denorm_f0_zscore(normed, unvoiced, mean, std, min_hz=50.0, max_hz=1200.0):
+    f0 = jnp.clip(2.0 ** (normed * std + mean), min_hz, max_hz)
+    return jnp.where(unvoiced, 0.0, f0)
+
+
+def _hubert_acoustic_losses(ctx, params, batch_stats, batch, rngs, state):
+    mel, mel_length, energy = ctx.mel_and_energy(batch["audio_gt"])
+    phones, spk_emb = ctx.ssl_features(batch["audio_gt"], mel.shape[1])
+    pred = ctx.apply(
+        "hubert_speech_predictor", params, None,
+        phones, mel_length, spk_emb, batch["pitch"][:, : mel.shape[1]],
+        energy, batch["audio_gt"], rngs=rngs, train=True,
+    )
+    pred_pitch, pred_energy = ctx.apply(
+        "hubert_pitch_energy_predictor", params, None,
+        phones, mel_length, spk_emb, rngs=rngs, train=True,
+    )
+    t_mag, p_mag, _, _, t_fft, p_fft = ctx.multi_spectrogram(
+        target=batch["audio_gt"], pred=pred.audio
+    )
+    mc = ctx.model_config
+    mag_l, phase_l = L.magphase_loss(
+        pred.magnitude, pred.phase, batch["audio_gt"],
+        n_fft=mc.n_fft, hop_length=mc.hop_length // 4,
+        win_length=mc.win_length,
+    )
+    metrics = {
+        "mel": L.multi_resolution_stft_loss(t_mag, p_mag),
+        "slm": ctx.slm_loss(batch["audio_gt"], pred.audio),
+        "mag": mag_l,
+        "phase": phase_l,
+        "pitch": L.smooth_l1_loss(
+            pred_pitch, batch["pitch"][:, : pred_pitch.shape[1]]
+        ),
+        "energy": L.smooth_l1_loss(pred_energy, energy),
+    }
+    metrics.update(L.normalizing_flow_losses(pred))
+    return metrics, (t_fft, p_fft), {}
+
+
+def _cfm_mel_losses(ctx, params, batch_stats, batch, rngs, state):
+    mel, _, energy = ctx.mel_and_energy(batch["audio_gt"])
+    phones, spk_emb = ctx.ssl_features(batch["audio_gt"], mel.shape[1])
+
+    def estimator(x, t, **conds):
+        return ctx.models["cfm_mel_decoder"].apply(
+            {"params": params["cfm_mel_decoder"]}, x, t, train=True,
+            rngs=rngs, **conds,
+        )
+
+    sampler = CfmSampler(estimator, non_drop_conds=["spk_emb"])
+    pred, target = sampler.compute_pred_target(
+        rngs["sample"], mel,
+        asr=phones, f0=batch["pitch"][:, : mel.shape[1]], energy=energy,
+        spk_emb=spk_emb,
+    )
+    return {"mel_l2": jnp.mean((pred - target) ** 2)}, None, {}
+
+
+def _cfm_pitch_losses(ctx, params, batch_stats, batch, rngs, state):
+    mel, _, _ = ctx.mel_and_energy(batch["audio_gt"])
+    phones, _ = ctx.ssl_features(batch["audio_gt"], batch["pitch"].shape[1])
+    f0 = batch["pitch"]
+    unvoiced = f0 == 0
+    normed_f0 = norm_f0_zscore(
+        f0, unvoiced, ctx.f0_log2_mean, ctx.f0_log2_std
+    )
+    pred = ctx.apply(
+        "cfm_pitch_predictor", params, None, phones, mel,
+        rngs=rngs, train=True,
+    )
+    return {
+        "normed_pitch_l2": jnp.mean(
+            (pred[:, : normed_f0.shape[1]] - normed_f0) ** 2
+        )
+    }, None, {}
+
+
+STAGES["hubert_acoustic"] = StageType(
+    next_stage=None,
+    compute_losses=_hubert_acoustic_losses,
+    train_models=["hubert_speech_predictor", "hubert_pitch_energy_predictor"],
+    eval_models=[],
+    discriminators=["mrd"],
+    inputs=["text", "text_length", "audio_gt", "pitch", "alignment"],
+)
+STAGES["cfm_hubert_mel"] = StageType(
+    next_stage=None,
+    compute_losses=_cfm_mel_losses,
+    train_models=["cfm_mel_decoder", "hubert_encoder"],
+    eval_models=[],
+    discriminators=[],
+    inputs=["text", "text_length", "audio_gt", "pitch", "alignment"],
+)
+STAGES["cfm_hubert_pitch"] = StageType(
+    next_stage=None,
+    compute_losses=_cfm_pitch_losses,
+    train_models=["cfm_pitch_predictor"],
+    eval_models=[],
+    discriminators=[],
+    inputs=["text", "text_length", "audio_gt", "pitch", "alignment"],
+)
 
 
 STAGES["alignment"] = StageType(

@@ -1,0 +1,79 @@
+"""Text normalisation + G2P tests (pure host code, no jax)."""
+
+from stylish_tts_tpu.config import SymbolConfig
+from stylish_tts_tpu.text import TextCleaner
+from stylish_tts_tpu.textfrontend import (
+    G2P,
+    normalize_text,
+    number_to_words,
+    split_sentences,
+)
+
+
+class TestNumbers:
+    def test_basic(self):
+        assert number_to_words(0) == "oh"
+        assert number_to_words(7) == "seven"
+        assert number_to_words(21) == "twenty-one"
+        assert number_to_words(115) == "one hundred and fifteen"
+        assert number_to_words(1000) == "one thousand"
+        assert number_to_words(1234567) == (
+            "one million two hundred and thirty-four thousand "
+            "five hundred and sixty-seven"
+        )
+
+    def test_decimal_negative(self):
+        assert number_to_words("3.14") == "three point one four"
+        assert number_to_words(-5) == "minus five"
+
+
+class TestNormalize:
+    def test_expansion(self):
+        out = normalize_text("I paid $25 for 3 books in 1999, 100% true...")
+        assert "$" not in out and "%" not in out
+        assert "twenty-five dollars" in out
+        assert "three books" in out
+        assert "nineteen ninety-nine" in out
+        assert "one hundred percent" in out
+        assert "…" in out
+
+    def test_ordinals(self):
+        out = normalize_text("the 3rd of May, the 21st time")
+        assert "third" in out
+        assert "twenty-first" in out
+
+
+class TestSentences:
+    def test_split_with_abbreviations(self):
+        text = "Dr. Smith arrived at 5 p.m. yesterday. He was tired! Was he? Yes."
+        sents = split_sentences(normalize_text(text))
+        assert len(sents) >= 3
+        assert sents[-1] == "Yes."
+        # abbreviation did not split
+        assert any("Smith" in s and "arrived" in s for s in sents)
+
+
+class TestG2P:
+    def test_lexicon_and_rules(self):
+        g2p = G2P(use_espeak=False)
+        out = g2p("the cat sat on the mat")
+        assert "ðə" in out
+        # every emitted symbol is in the training inventory
+        cleaner = TextCleaner(SymbolConfig())
+        ids = cleaner(out.replace(" ", " "))
+        assert len(ids) > 0
+
+    def test_symbols_in_inventory(self):
+        g2p = G2P(use_espeak=False)
+        cleaner = TextCleaner(SymbolConfig())
+        out = g2p("extraordinary machines, quickly!")
+        unknown = [c for c in out if c not in cleaner.word_index_dictionary]
+        assert unknown == [], f"unknown symbols: {unknown}"
+
+    def test_stress_and_plural(self):
+        from stylish_tts_tpu.textfrontend.g2p import add_stress, pluralize
+
+        assert add_stress("kæt") == "ˈkæt"
+        assert pluralize("kæt") == "kæts"
+        assert pluralize("dɑːɡ") == "dɑːɡz"
+        assert pluralize("wɪʃ") == "wɪʃəz"
