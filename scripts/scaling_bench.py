@@ -1,0 +1,112 @@
+"""Data-parallel scaling efficiency benchmark.
+
+Measures training throughput (audio-seconds/s) for the acoustic stage at
+1..N devices over a jax mesh, the BASELINE 'scaling efficiency >= 0.85 at
+4 hosts' config.  On a single-chip sandbox run with --virtual to validate
+the sharded step over N virtual CPU devices; on a real pod slice run as-is
+(per-host data sharding comes from the same code path).
+
+Usage:
+  python scripts/scaling_bench.py [--virtual N] [--steps K]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--virtual", type=int, default=0,
+                        help="force N virtual CPU devices")
+    parser.add_argument("--steps", type=int, default=8)
+    parser.add_argument("--frames", type=int, default=160)
+    parser.add_argument("--per-device-batch", type=int, default=2)
+    args = parser.parse_args()
+
+    if args.virtual:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.virtual}"
+        ).strip()
+    import jax
+
+    if args.virtual:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stylish_tts_tpu.config import Config, ModelConfig
+    from stylish_tts_tpu.models import build_models
+    from stylish_tts_tpu.parallel import (
+        make_mesh, make_parallel_train_step, replicate, shard_batch,
+    )
+    from stylish_tts_tpu.train.init import (
+        build_train_state, init_model_variables, init_slm_params,
+    )
+    from stylish_tts_tpu.train.stages import StageContext, make_train_step
+
+    mc = ModelConfig()
+    cfg = Config()
+    models = build_models(mc)
+    rng = jax.random.PRNGKey(0)
+    variables = init_model_variables(models, mc, rng)
+    state0 = build_train_state(variables, mc)
+    ctx = StageContext(
+        models=models, model_config=mc, config=cfg,
+        mel_mean=-4.0, mel_std=4.0, step_limit=1000,
+        duration_class_weight=jnp.ones((16,)),
+        slm_params=init_slm_params(jax.random.PRNGKey(7)),
+    )
+
+    devices = jax.devices()
+    results = {}
+    sizes = sorted({1, 2, len(devices)} & set(range(1, len(devices) + 1)))
+    for n in sizes:
+        mesh = make_mesh(n)
+        step = make_parallel_train_step(
+            make_train_step("acoustic", ctx, 1e-4), mesh
+        )
+        b = n * args.per_device_batch
+        t, frames = 64, args.frames
+        batch = dict(
+            text=jnp.zeros((b, t), jnp.int32),
+            text_length=jnp.full((b,), t, jnp.int32),
+            alignment=jnp.zeros((b, t, frames)).at[:, 0].set(1.0),
+            pitch=jnp.full((b, frames), 120.0),
+            audio_gt=jnp.asarray(
+                np.random.default_rng(0).standard_normal(
+                    (b, frames * mc.hop_length)
+                ), jnp.float32,
+            ) * 0.1,
+        )
+        with mesh:
+            state = replicate(state0, mesh)
+            sbatch = shard_batch(batch, mesh)
+            state, metrics = step(state, sbatch, jax.random.PRNGKey(1))
+            jax.block_until_ready(metrics["loss"])  # compile
+            t0 = time.perf_counter()
+            for i in range(args.steps):
+                state, metrics = step(
+                    state, sbatch, jax.random.PRNGKey(2 + i)
+                )
+            jax.block_until_ready(metrics["loss"])
+            wall = time.perf_counter() - t0
+        audio_seconds = (
+            args.steps * b * frames * mc.hop_length / mc.sample_rate
+        )
+        results[n] = audio_seconds / wall
+        print(f"devices={n}: {results[n]:.2f} audio-sec/s")
+
+    base = results[sizes[0]]
+    for n in sizes:
+        eff = results[n] / (base * n / sizes[0])
+        print(f"scaling efficiency @ {n} devices: {eff:.3f}")
+    print(json.dumps({"throughput_audio_sec_per_s": results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -119,6 +119,53 @@ class Synthesizer:
         samples = total_frames * self.mc.hop_length
         return np.asarray(audio[0, :samples])
 
+    def synthesize_batch(
+        self, phoneme_list: List[str], speed: float = 1.0
+    ) -> List[np.ndarray]:
+        """Batched bucketed synthesis: all utterances padded to one
+        (text-bucket, frame-bucket) pair and decoded in a single jitted
+        call — the production serving path (BASELINE 'batched bucketed
+        synthesis' config)."""
+        b = len(phoneme_list)
+        encoded = [
+            [0] + self.text_cleaner(p) + [0] for p in phoneme_list
+        ]
+        max_n = max(len(ids) for ids in encoded)
+        bucket = min(max(64, -(-max_n // 64) * 64), 512)
+        tokens = np.zeros((b, bucket), np.int32)
+        lengths = np.zeros((b,), np.int32)
+        for i, ids in enumerate(encoded):
+            tokens[i, : len(ids)] = ids
+            lengths[i] = len(ids)
+        tokens_j = jnp.asarray(tokens)
+        lengths_j = jnp.asarray(lengths)
+        logits = self._duration_graph(self.params, tokens_j, lengths_j)
+        durs = np.asarray(
+            self.duration_processor.prediction_to_duration(logits)
+        )
+        totals = []
+        frames = 60
+        for i, ids in enumerate(encoded):
+            d = np.maximum(1, np.round(durs[i, : len(ids)] / speed))
+            totals.append(int(d.sum()))
+            frames = max(frames, frame_bucket(int(d.sum())))
+        align = np.zeros((b, bucket, frames), np.float32)
+        for i, ids in enumerate(encoded):
+            d = np.maximum(1, np.round(durs[i, : len(ids)] / speed)).astype(
+                np.int64
+            )
+            align[i, : len(ids)] = duration_to_alignment_np(d, frames)
+        self.rng, sample_rng = jax.random.split(self.rng)
+        audio = np.asarray(
+            self._speech_graph(
+                self.params, tokens_j, lengths_j, jnp.asarray(align),
+                sample_rng,
+            )
+        )
+        return [
+            audio[i, : totals[i] * self.mc.hop_length] for i in range(b)
+        ]
+
     def synthesize_longform(
         self,
         sentences: List[str],

@@ -179,6 +179,9 @@ def train_model(
         config=config,
         model_config=model_config,
     )
+    from ..utils.profiling import save_git_state
+
+    save_git_state(ctx.base_out_dir)
     try:
         from tensorboardX import SummaryWriter
 
