@@ -46,24 +46,29 @@ def main() -> None:
         "plˈeɪd bɪnˈiːθ ðə tˈɔːl ˈoʊk tɹˈiː ɑːn ðæt wˈɔːɹm sˈʌmɚ ˈæftɚnˌuːn"
     )
 
+    # untrained duration weights predict absurd lengths; pin a natural
+    # speaking rate (4 mel frames = 50 ms per phoneme -> ~6.7 s utterance)
+    # while still timing the duration graph.
+    DUR = 4
+
     # ---- single-utterance latency path --------------------------------
-    audio = synth.synthesize(phonemes)  # warm-up / compile
+    audio = synth.synthesize(phonemes, fixed_duration=DUR)  # warm-up
     jax.block_until_ready(audio)
     iters = 10
     t0 = time.perf_counter()
     total_audio = 0.0
     for _ in range(iters):
-        audio = synth.synthesize(phonemes)
+        audio = synth.synthesize(phonemes, fixed_duration=DUR)
         total_audio += audio.shape[0] / mc.sample_rate
     single_rtf = total_audio / (time.perf_counter() - t0)
 
     # ---- batched bucketed serving path (headline throughput) ----------
     batch = [phonemes] * 16
-    outs = synth.synthesize_batch(batch)  # warm-up / compile
+    outs = synth.synthesize_batch(batch, fixed_duration=DUR)  # warm-up
     t0 = time.perf_counter()
     total_audio = 0.0
     for _ in range(iters):
-        outs = synth.synthesize_batch(batch)
+        outs = synth.synthesize_batch(batch, fixed_duration=DUR)
         total_audio += sum(o.shape[0] for o in outs) / mc.sample_rate
     batched_rtf = total_audio / (time.perf_counter() - t0)
 

@@ -123,5 +123,50 @@ def convert_cmd(config_path, model_config_path, checkpoint, out_path):
     click.echo(f"wrote {out_path}")
 
 
+@main.command("test")
+@click.option("--model-config", "model_config_path", default=None, type=click.Path())
+@click.option("--frames", default=200, type=int)
+@click.option("--tokens", default=100, type=int)
+@click.option("--iters", default=10, type=int)
+def test_cmd(model_config_path, frames, tokens, iters):
+    """Parameter-count table + timed forward on random inputs
+    (reference train/test.py:46-118, cli_util.py:6-21)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .config import load_model_config_yaml
+    from .models import build_models
+    from .train.init import init_model_variables
+    from .utils.harness import param_table, time_forward
+
+    mc = load_model_config_yaml(model_config_path)
+    models = build_models(mc)
+    variables = init_model_variables(models, mc, jax.random.PRNGKey(0))
+    params = {k: v["params"] for k, v in variables.items()}
+    click.echo(param_table(params))
+
+    b = 2
+    tok = jnp.zeros((b, tokens), jnp.int32)
+    lengths = jnp.full((b,), tokens, jnp.int32)
+    align = jnp.zeros((b, tokens, frames)).at[:, 0].set(1.0)
+    pitch = jnp.full((b, frames), 120.0)
+    energy = jnp.ones((b, frames))
+
+    @jax.jit
+    def fwd(tok, lengths, align, pitch, energy):
+        return models["speech_predictor"].apply(
+            {"params": params["speech_predictor"]},
+            tok, lengths, align, pitch, energy, None,
+            rngs={"sample": jax.random.PRNGKey(1)},
+        ).audio
+
+    dt = time_forward(fwd, (tok, lengths, align, pitch, energy), iters)
+    audio_sec = b * frames * mc.hop_length / mc.sample_rate
+    click.echo(
+        f"speech_predictor forward: {dt*1000:.1f} ms/batch "
+        f"({audio_sec/dt:.1f}x realtime)"
+    )
+
+
 if __name__ == "__main__":
     main()

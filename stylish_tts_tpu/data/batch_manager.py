@@ -120,14 +120,19 @@ class BatchManager:
         stop = threading.Event()
 
         def producer():
+            from concurrent.futures import ThreadPoolExecutor
+
             try:
-                for bin_num, idxs in plan:
-                    if stop.is_set():
-                        break
-                    items = [self.dataset.load_item(i) for i in idxs]
-                    batch = collate(items, stage=stage, rng=rng, jitter=jitter)
-                    batch["bin"] = bin_num
-                    q.put(batch)
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for bin_num, idxs in plan:
+                        if stop.is_set():
+                            break
+                        items = list(pool.map(self.dataset.load_item, idxs))
+                        batch = collate(
+                            items, stage=stage, rng=rng, jitter=jitter
+                        )
+                        batch["bin"] = bin_num
+                        q.put(batch)
             except Exception as exc:  # propagate to consumer
                 q.put(exc)
             finally:

@@ -98,13 +98,26 @@ class Synthesizer:
         durs = self.duration_processor.prediction_to_duration(logits[0])
         return np.asarray(durs[:n], dtype=np.int64)
 
-    def synthesize(self, phonemes: str, speed: float = 1.0) -> np.ndarray:
-        """Single-utterance synthesis -> float32 waveform at 24 kHz."""
+    def synthesize(
+        self,
+        phonemes: str,
+        speed: float = 1.0,
+        fixed_duration: Optional[int] = None,
+    ) -> np.ndarray:
+        """Single-utterance synthesis -> float32 waveform at 24 kHz.
+
+        ``fixed_duration`` bypasses the duration model with a constant
+        frames-per-token (benchmarking with untrained weights)."""
         tokens, lengths, n = self._encode(phonemes)
         logits = self._duration_graph(self.params, tokens, lengths)
-        durs = np.asarray(
-            self.duration_processor.prediction_to_duration(logits[0])
-        )[:n]
+        if fixed_duration is not None:
+            # benchmark mode: duration graph still timed, its (untrained)
+            # output replaced by a realistic constant frames-per-token
+            durs = np.full(n, fixed_duration, np.int64)
+        else:
+            durs = np.asarray(
+                self.duration_processor.prediction_to_duration(logits[0])
+            )[:n]
         if speed != 1.0:
             durs = np.maximum(1, np.round(durs / speed)).astype(np.int64)
         total_frames = int(durs.sum())
@@ -120,7 +133,10 @@ class Synthesizer:
         return np.asarray(audio[0, :samples])
 
     def synthesize_batch(
-        self, phoneme_list: List[str], speed: float = 1.0
+        self,
+        phoneme_list: List[str],
+        speed: float = 1.0,
+        fixed_duration: Optional[int] = None,
     ) -> List[np.ndarray]:
         """Batched bucketed synthesis: all utterances padded to one
         (text-bucket, frame-bucket) pair and decoded in a single jitted
@@ -140,9 +156,12 @@ class Synthesizer:
         tokens_j = jnp.asarray(tokens)
         lengths_j = jnp.asarray(lengths)
         logits = self._duration_graph(self.params, tokens_j, lengths_j)
-        durs = np.asarray(
-            self.duration_processor.prediction_to_duration(logits)
-        )
+        if fixed_duration is not None:
+            durs = np.full((b, bucket), fixed_duration, np.int64)
+        else:
+            durs = np.asarray(
+                self.duration_processor.prediction_to_duration(logits)
+            )
         totals = []
         frames = 60
         for i, ids in enumerate(encoded):

@@ -253,10 +253,16 @@ def train_model(
         start_epoch = ctx.manifest.current_epoch if ctx.manifest.stage == current else 0
         ctx.manifest.stage = current
         done = False
+        resume_skip = (
+            ctx.manifest.current_step % max(steps_per_epoch, 1)
+            if checkpoint and ctx.manifest.stage == current
+            else 0
+        )
         for epoch in range(start_epoch, plan.epochs):
             ctx.manifest.current_epoch = epoch + 1
             iterator = ctx.batch_manager.epoch_iterator(
                 stage=current, epoch=epoch + 1,
+                skip_batches=resume_skip if epoch == start_epoch else 0,
             )
             for batch in iterator:
                 rng, step_rng = jax.random.split(rng)
@@ -289,6 +295,22 @@ def train_model(
                         for k, v in combined.items():
                             ctx.writer.add_scalar(f"train/{k}", v, step)
                 if step % config.training.val_interval == 0:
+                    if current == "alignment":
+                        # the alignment stage deliberately trains on the val
+                        # set at each val step (reference train.py:397-403,
+                        # README.md:118 — alignment is not a generalisation
+                        # task)
+                        for vbatch in val_manager.epoch_iterator(
+                            stage=current, epoch=epoch + 1, shuffle=False,
+                            jitter=False,
+                        ):
+                            rng, vrng = jax.random.split(rng)
+                            vdev = {
+                                k: jnp.asarray(v)
+                                for k, v in vbatch.items()
+                                if k not in ("paths", "bin")
+                            }
+                            state, _ = step_fn(state, vdev, vrng)
                     _validate(
                         ctx, state, eval_fn, val_manager, current, rng,
                         val_samples,
@@ -344,6 +366,54 @@ def _validate(ctx, state, eval_fn, val_manager, stage, rng, val_samples):
                 f"eval/sample_{samples_written}", audio, step,
                 sample_rate=ctx.model_config.sample_rate,
             )
+            try:
+                from ..ops.mel import MelSpectrogram
+                from ..utils.figures import (
+                    plot_attention,
+                    plot_mel_difference,
+                    plot_spectrogram,
+                )
+
+                mc = ctx.model_config
+                to_mel = MelSpectrogram(
+                    n_mels=mc.n_mels, n_fft=mc.n_fft,
+                    win_length=mc.win_length, hop_length=mc.hop_length,
+                    sample_rate=mc.sample_rate,
+                )
+                mel_pred = np.log(
+                    np.clip(np.asarray(to_mel(audio_pred[:1]))[0], 1e-5, None)
+                )
+                ctx.writer.add_figure(
+                    f"eval/sample_{samples_written}/mel",
+                    plot_spectrogram(mel_pred, f"Predicted Mel (Step {step})"),
+                    step,
+                )
+                gt = device_batch.get("audio_gt")
+                if gt is not None:
+                    mel_gt = np.log(
+                        np.clip(np.asarray(to_mel(gt[:1]))[0], 1e-5, None)
+                    )
+                    norm_gt = (
+                        mel_gt - ctx.normalization.mel_log_mean
+                    ) / ctx.normalization.mel_log_std
+                    ctx.writer.add_figure(
+                        f"eval/sample_{samples_written}/mel_difference",
+                        plot_mel_difference(
+                            norm_gt, mel_pred,
+                            ctx.normalization.mel_log_mean,
+                            ctx.normalization.mel_log_std,
+                        ),
+                        step,
+                    )
+                align = device_batch.get("alignment")
+                if align is not None:
+                    ctx.writer.add_figure(
+                        f"eval/attention_{samples_written}",
+                        plot_attention(np.asarray(align[0])),
+                        step,
+                    )
+            except Exception as exc:  # figures must never kill validation
+                logger.warning("figure logging failed: %s", exc)
             samples_written += 1
     combined = combine_metrics(logs)
     total = combined.pop("loss", 0.0)

@@ -1,0 +1,93 @@
+"""One jitted train step per registered stage on tiny shapes (slow)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def setup():
+    from stylish_tts_tpu.config import Config, ModelConfig
+    from stylish_tts_tpu.models import build_models
+    from stylish_tts_tpu.train.init import (
+        build_train_state,
+        init_model_variables,
+        init_slm_params,
+        init_ssl_params,
+    )
+    from stylish_tts_tpu.train.stages import StageContext
+
+    mc = ModelConfig()
+    mc.text_encoder.layers = 1
+    mc.text_encoder.hidden_dim = 32
+    mc.text_encoder.filter_channels = 64
+    mc.text_encoder.heads = 4
+    mc.inter_dim = 32
+    mc.style_dim = 16
+    mc.pitch_energy_predictor.inter_dim = 48
+    mc.decoder.hidden_dim = 64
+    mc.decoder.residual_dim = 16
+    mc.generator.input_dim = 64
+    mc.generator.hidden_dim = 64
+    mc.generator.conv_intermediate_dim = 128
+    mc.hubert.hidden_dim = 32
+    mc.speaker_embedder.hidden_dim = 48
+    cfg = Config()
+    models = build_models(mc)
+    rng = jax.random.PRNGKey(0)
+    variables = init_model_variables(models, mc, rng)
+    state = build_train_state(variables, mc)
+    ctx = StageContext(
+        models=models, model_config=mc, config=cfg,
+        mel_mean=-4.0, mel_std=4.0, step_limit=100,
+        duration_class_weight=jnp.ones((16,)),
+        slm_params=init_slm_params(rng),
+        ssl_params=init_ssl_params(rng, mc),
+    )
+    B, T, Fm = 2, 10, 24
+    batch = dict(
+        text=jnp.zeros((B, T), jnp.int32),
+        text_length=jnp.asarray([T, T - 2], jnp.int32),
+        alignment=jnp.zeros((B, T, Fm)).at[:, 0].set(1.0),
+        pitch=jnp.full((B, Fm), 120.0),
+        audio_gt=jnp.asarray(
+            np.random.default_rng(0).standard_normal((B, Fm * 300)),
+            jnp.float32,
+        ) * 0.1,
+    )
+    return ctx, state, batch
+
+
+@pytest.mark.parametrize(
+    "stage",
+    ["textual", "style", "joint", "hubert_acoustic", "cfm_hubert_mel",
+     "cfm_hubert_pitch"],
+)
+def test_stage_step_runs(setup, stage):
+    from stylish_tts_tpu.train.stages import make_train_step
+
+    ctx, state, batch = setup
+    step = jax.jit(make_train_step(stage, ctx, 1e-4))
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"])), metrics
+    # parameters of the stage's train models changed
+    from stylish_tts_tpu.train.stages import STAGES
+
+    key = STAGES[stage].train_models[0]
+    before = jax.tree_util.tree_leaves(state.params[key])[0]
+    after = jax.tree_util.tree_leaves(new_state.params[key])[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+@pytest.mark.parametrize("stage", ["acoustic", "textual", "style", "duration",
+                                   "alignment"])
+def test_eval_step_runs(setup, stage):
+    from stylish_tts_tpu.train.stages import make_eval_step
+
+    ctx, state, batch = setup
+    step = jax.jit(make_eval_step(stage, ctx))
+    metrics, audio = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
