@@ -93,12 +93,16 @@ def align_cmd(config_path, model_config_path):
 @main.command("pitch")
 @click.option("--config", "config_path", required=True, type=click.Path(exists=True))
 @click.option("--model-config", "model_config_path", default=None, type=click.Path())
-@click.option("--method", default="yin", type=click.Choice(["yin"]))
-def pitch_cmd(config_path, model_config_path, method):
+@click.option("--method", default="yin", type=click.Choice(["yin", "rmvpe"]))
+@click.option("--rmvpe-weights", default=None, type=click.Path(),
+              help="converted RMVPE safetensors (required for --method rmvpe)")
+def pitch_cmd(config_path, model_config_path, method, rmvpe_weights):
     from .dataprep.pitch import calculate_pitch
 
     config, model_config = _load_configs(config_path, model_config_path)
-    calculate_pitch(config, model_config, method=method)
+    calculate_pitch(
+        config, model_config, method=method, rmvpe_weights=rmvpe_weights
+    )
 
 
 @main.command("convert")
@@ -121,6 +125,46 @@ def convert_cmd(config_path, model_config_path, checkpoint, out_path):
         config, model_config, checkpoint_dir=checkpoint, out_path=out_path
     )
     click.echo(f"wrote {out_path}")
+
+
+@main.command("speak")
+@click.option("--artifact", required=True, type=click.Path(exists=True),
+              help="inference artifact dir from `convert`")
+@click.option("--text", "text_path", type=click.Path(exists=True),
+              help="text file (normalised + split into sentences)")
+@click.option("--phonemes", default=None, help="direct IPA phoneme input")
+@click.option("--out", "out_path", required=True, type=click.Path())
+def speak_cmd(artifact, text_path, phonemes, out_path):
+    """Long-form synthesis to WAV (capability of the reference ttab
+    audiobook scripts + test_onnx driver)."""
+    import numpy as np
+    from scipy.io import wavfile
+
+    from .config import load_model_config_json
+    from .export.infer import Synthesizer, measure_rtf
+    from .export.package import load_inference_params
+    from .textfrontend import G2P, normalize_text, split_sentences
+
+    import json as _json
+    from pathlib import Path
+
+    mc = load_model_config_json(
+        (Path(artifact) / "model_config.json").read_text()
+    )
+    params = load_inference_params(artifact, mc)
+    synth = Synthesizer(mc, params)
+    if phonemes:
+        audio = synth.synthesize(phonemes)
+    else:
+        text = Path(text_path).read_text(encoding="utf-8")
+        sentences = split_sentences(normalize_text(text))
+        g2p = G2P()
+        audio = synth.synthesize_longform([g2p(s) for s in sentences])
+    wavfile.write(
+        out_path, mc.sample_rate,
+        (np.clip(audio, -1, 1) * 32767).astype(np.int16),
+    )
+    click.echo(f"wrote {out_path} ({audio.shape[0]/mc.sample_rate:.2f}s)")
 
 
 @main.command("test")

@@ -35,13 +35,20 @@ def _yin_frame_pitch(frames: jax.Array, sample_rate: int) -> jax.Array:
     w = YIN_WINDOW
     x = frames.astype(jnp.float32)
 
-    # difference function via FFT autocorrelation:
-    # d(tau) = e(0) + e(tau) - 2 * sum_j x_j x_{j+tau}
+    # difference function d(tau) = e(0) + e(tau) - 2 * sum_{j<W} x_j x_{j+tau}
+    # cross-correlation restricted to the W-sample integration window:
+    # corr(tau) = irfft(conj(FFT(x[:W])) * FFT(x))[tau]
     n_fft = 1
     while n_fft < x.shape[-1] * 2:
         n_fft *= 2
-    spec = jnp.fft.rfft(x, n_fft)
-    acf = jnp.fft.irfft(spec * jnp.conj(spec), n_fft)[..., : tau_max + 1]
+    head = jnp.where(
+        jnp.arange(x.shape[-1])[None, :] < w, x, 0.0
+    )
+    spec_head = jnp.fft.rfft(head, n_fft)
+    spec_full = jnp.fft.rfft(x, n_fft)
+    corr = jnp.fft.irfft(jnp.conj(spec_head) * spec_full, n_fft)[
+        ..., : tau_max + 1
+    ]
     csum = jnp.cumsum(x * x, axis=-1)
     e0 = csum[..., w - 1]
     # e(tau) = sum_{j=tau}^{tau+w-1} x_j^2
@@ -49,7 +56,7 @@ def _yin_frame_pitch(frames: jax.Array, sample_rate: int) -> jax.Array:
     e_tau = (
         csum[..., idx + w - 1] - jnp.where(idx > 0, csum[..., idx - 1], 0.0)
     )
-    d = e0[..., None] + e_tau - 2.0 * acf
+    d = e0[..., None] + e_tau - 2.0 * corr
 
     # cumulative mean normalised difference
     cum = jnp.cumsum(d[..., 1:], axis=-1)
@@ -58,13 +65,23 @@ def _yin_frame_pitch(frames: jax.Array, sample_rate: int) -> jax.Array:
     cmnd = jnp.concatenate([jnp.ones_like(d[..., :1]), cmnd], axis=-1)
 
     # absolute-threshold pick: first tau in range with cmnd < threshold,
-    # else global argmin in range
+    # then descend to the following local minimum (YIN step 4); fall back
+    # to the global argmin in range when nothing crosses the threshold
     in_range = (idx >= tau_min) & (idx <= tau_max)
     below = (cmnd < YIN_THRESHOLD) & in_range
     first_below = jnp.argmax(below, axis=-1)
     has_below = jnp.any(below, axis=-1)
+    rising = jnp.concatenate(
+        [
+            cmnd[..., 1:] > cmnd[..., :-1],
+            jnp.ones_like(cmnd[..., :1], bool),
+        ],
+        axis=-1,
+    )
+    stop = rising & (idx[None, :] >= first_below[..., None])
+    local_min = jnp.argmax(stop, axis=-1)
     masked = jnp.where(in_range, cmnd, jnp.inf)
-    tau_best = jnp.where(has_below, first_below, jnp.argmin(masked, axis=-1))
+    tau_best = jnp.where(has_below, local_min, jnp.argmin(masked, axis=-1))
 
     # parabolic interpolation around tau_best
     def gather(c, t):
@@ -81,6 +98,8 @@ def _yin_frame_pitch(frames: jax.Array, sample_rate: int) -> jax.Array:
     tau_ref = t0.astype(jnp.float32) + jnp.clip(delta, -1.0, 1.0)
 
     voiced = gather(cmnd, t0) < YIN_THRESHOLD * 2.0
+    # energy gate: silence has a degenerate (all-zero) difference function
+    voiced = voiced & (e0 > 1e-4)
     f0 = jnp.where(voiced, sample_rate / jnp.maximum(tau_ref, 1.0), 0.0)
     return jnp.where((f0 >= F0_FLOOR) & (f0 <= F0_CEIL), f0, 0.0)
 
@@ -97,7 +116,7 @@ def extract_pitch(
     padded = np.pad(wave, (pad, pad + frame_len))
     starts = np.arange(n_frames) * hop_length
     frames = np.stack([padded[s : s + frame_len] for s in starts])
-    f0 = np.asarray(_yin_jit(jnp.asarray(frames), sample_rate))
+    f0 = np.array(_yin_jit(jnp.asarray(frames), sample_rate))  # writable copy
     # 3-point median smoothing
     if f0.shape[0] >= 3:
         stacked = np.stack([f0[:-2], f0[1:-1], f0[2:]])
@@ -117,13 +136,26 @@ def _yin_jit(frames, sample_rate):
     return _yin_cache[key](frames)
 
 
-def calculate_pitch(config, model_config, method: str = "yin") -> None:
+def calculate_pitch(
+    config, model_config, method: str = "yin",
+    rmvpe_weights: str | None = None,
+) -> None:
     """Precache F0 for train+val splits into pitch.safetensors
-    (reference cli `stylish-train pitch`)."""
+    (reference cli `stylish-train pitch`; methods 'yin' on-device or
+    'rmvpe' with converted weights on disk)."""
     from safetensors.numpy import save_file
 
     from ..data.audio import read_wav
     from ..data.dataset import get_data_path_list
+
+    rmvpe = None
+    if method == "rmvpe":
+        from ..ops.resample import resample as jresample
+        from .rmvpe import RMVPEInference
+
+        import jax.numpy as jnp
+
+        rmvpe = RMVPEInference(rmvpe_weights)
 
     root = Path(config.dataset.path)
     wavdir = root / config.dataset.wav_path
@@ -136,9 +168,26 @@ def calculate_pitch(config, model_config, method: str = "yin") -> None:
                 continue
             name = fields[0]
             wave = read_wav(wavdir / name, model_config.sample_rate)
-            out[name] = extract_pitch(
-                wave, model_config.sample_rate, model_config.hop_length
-            )
+            if rmvpe is not None:
+                import jax.numpy as jnp
+
+                wave16 = np.asarray(
+                    jresample(
+                        jnp.asarray(wave[None]),
+                        model_config.sample_rate, 16000,
+                    )
+                )[0]
+                f0 = rmvpe(wave16)
+                n_frames = wave.shape[0] // model_config.hop_length + 1
+                # linear-interp to the mel frame grid (reference
+                # pitch_extractor.py:140-145)
+                xp = np.linspace(0, 1, f0.shape[0])
+                xq = np.linspace(0, 1, n_frames)
+                out[name] = np.interp(xq, xp, f0).astype(np.float32)
+            else:
+                out[name] = extract_pitch(
+                    wave, model_config.sample_rate, model_config.hop_length
+                )
             if (i + 1) % 200 == 0:
                 logger.info("%s: %d/%d", split, i + 1, len(lines))
     save_file(out, str(root / config.dataset.pitch_path))

@@ -41,7 +41,8 @@ def _sinc_kernel(
         t = np.clip(t, -lowpass_filter_width, lowpass_filter_width)
         window = np.cos(t * np.pi / lowpass_filter_width / 2) ** 2
         scale = base_freq / down
-        kernel = np.where(t == 0, 1.0, np.sin(np.pi * t) / np.maximum(np.pi * t, 1e-20))
+        denom = np.where(t == 0, 1.0, np.pi * t)
+        kernel = np.where(t == 0, 1.0, np.sin(np.pi * t) / denom)
         kernels.append(kernel * window * scale)
     k = np.stack(kernels)[:, None, :].astype(np.float32)  # [up, 1, K]
     return k, width, up, down

@@ -422,7 +422,7 @@ def _cfm_pitch_losses(ctx, params, batch_stats, batch, rngs, state):
         f0, unvoiced, ctx.f0_log2_mean, ctx.f0_log2_std
     )
     pred = ctx.apply(
-        "cfm_pitch_predictor", params, None, phones, mel,
+        "cfm_pitch_predictor", params, batch_stats, phones, mel,
         rngs=rngs, train=True,
     )
     return {
