@@ -75,6 +75,70 @@ class BatchManager:
             self.batch_sizes[str(bin_num)] = min(bs, self.probe_batch_max * 4)
         self.save_batch_sizes()
 
+    def refine_plan_aot(
+        self,
+        step_fn,
+        state,
+        model_config,
+        *,
+        stage_inputs,
+        budget_bytes: int,
+        probe_batch: int = 8,
+    ) -> None:
+        """TPU-native replacement for the reference's OOM probe loop
+        (train/batch_manager.py:70-164): ahead-of-time compile the step for
+        the largest bin at a probe batch size, read XLA's memory analysis,
+        and solve every bin's batch size from the measured bytes/sample
+        (activation memory scales ~linearly in frames x batch)."""
+        import jax
+        import jax.numpy as jnp
+
+        largest = max(self.time_bins)
+        frames = get_frame_count(largest)
+        t = 512
+        spec = {}
+        shapes = dict(
+            text=((probe_batch, t), jnp.int32),
+            text_length=((probe_batch,), jnp.int32),
+            alignment=((probe_batch, t, frames), jnp.float32),
+            pitch=((probe_batch, frames), jnp.float32),
+            audio_gt=(
+                (probe_batch, frames * model_config.hop_length), jnp.float32
+            ),
+        )
+        for key in stage_inputs:
+            if key in shapes:
+                shape, dtype = shapes[key]
+                spec[key] = jax.ShapeDtypeStruct(shape, dtype)
+        rng_spec = jax.ShapeDtypeStruct((2,), jnp.uint32)
+        try:
+            compiled = jax.jit(step_fn).lower(state, spec, rng_spec).compile()
+            analysis = compiled.memory_analysis()
+            total = (
+                analysis.temp_size_in_bytes
+                + analysis.argument_size_in_bytes
+                + analysis.output_size_in_bytes
+            )
+        except Exception as exc:
+            logger.warning("AOT memory probe failed (%s); keeping plan", exc)
+            return
+        fixed = sum(
+            int(np.prod(x.shape)) * 4
+            for x in jax.tree_util.tree_leaves(state.params)
+        ) * 3  # params + adam m/v
+        per_sample_frame = max(
+            (total - fixed) / (probe_batch * frames), 1.0
+        )
+        for bin_num in self.time_bins:
+            f = get_frame_count(bin_num)
+            bs = int((budget_bytes - fixed) / (per_sample_frame * f))
+            self.batch_sizes[str(bin_num)] = max(1, min(bs, 256))
+        self.save_batch_sizes()
+        logger.info(
+            "AOT memory plan: %.1f MiB total at probe, %.0f B/sample-frame",
+            total / 2**20, per_sample_frame,
+        )
+
     def get_batch_size(self, bin_num: int) -> int:
         return int(self.batch_sizes.get(str(bin_num), 1))
 

@@ -77,9 +77,14 @@ def test_stage_step_runs(setup, stage):
     from stylish_tts_tpu.train.stages import STAGES
 
     key = STAGES[stage].train_models[0]
-    before = jax.tree_util.tree_leaves(state.params[key])[0]
-    after = jax.tree_util.tree_leaves(new_state.params[key])[0]
-    assert not np.allclose(np.asarray(before), np.asarray(after))
+    deltas = [
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.params[key]),
+            jax.tree_util.tree_leaves(new_state.params[key]),
+        )
+    ]
+    assert max(deltas) > 0.0, f"no parameter of {key} moved"
 
 
 @pytest.mark.parametrize("stage", ["acoustic", "textual", "style", "duration",
