@@ -3,16 +3,21 @@
 The conv-based STFT (ops/stft.py) asks XLA to expand overlapping frames
 implicitly; for small hops (75-300 vs n_fft 2048) the expansion factor is
 7-27x, so if XLA materialises patches the op becomes HBM-bound.  This
-kernel reads each input sample once into VMEM, builds the frame matrix
-in on-chip scratch, and feeds the MXU directly:
+kernel reads each input sample once and assembles frames on-chip:
 
-  grid (batch, frame_tiles, freq_tiles); per (b, ft) the kernel DMAs the
-  overlapping input span HBM→VMEM once (at freq-tile 0), assembles
-  [frame_tile, n_fft] frames with a fori_loop of VMEM slices, then runs
-  one [frame_tile, n_fft] x [n_fft, freq_tile] MXU matmul per freq tile.
+  * the host reshapes audio into hop-rows and pads the row width to the
+    128-lane grid: X [B, rows, 128] with X[b, r, :hop] = x[b, r*hop:(r+1)*hop]
+    (lane-aligned full-row DMAs; the Mosaic compiler on this TPU rejects
+    sub-row / non-128-lane DMA slices);
+  * grid (batch, frame_tiles, freq_tiles): per (b, ft) the kernel DMAs
+    rows [ft*TILE, ft*TILE + TILE + K) to VMEM once (scratch persists
+    across the freq-tile axis), assembles [TILE, K*hop] frames with K
+    static slice copies (frame t chunk k = row t+k), then one
+    [TILE, n_fft'] x [n_fft', freq_tile] MXU matmul per freq tile against
+    a basis zero-padded from n_fft to K*hop rows.
 
-Use ``stft_pallas`` on TPU; parity with ops.stft.stft is tested in
-tests/test_pallas.py (slow/TPU marker).
+Correctness is tested in interpreter mode on CPU (tests/test_pallas.py)
+and against ops.stft.stft on TPU via the slow marker.
 """
 
 from __future__ import annotations
@@ -28,42 +33,41 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .stft import _forward_basis
 
+LANES = 128
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
 def _stft_kernel(
-    x_ref,        # [B, T_padded] in ANY/HBM
-    basis_ref,    # [n_fft, freq_tile] in VMEM (current freq tile)
-    out_ref,      # [1, frame_tile, freq_tile] VMEM block
-    x_scratch,    # [span_padded] VMEM
-    frames_scratch,  # [frame_tile, n_fft] VMEM
+    x_ref,           # [B, rows_padded, lane_w] in ANY/HBM (hop-padded rows)
+    basis_ref,       # [K*hop, freq_tile] VMEM block (current freq tile)
+    out_ref,         # [1, frame_tile, freq_tile] VMEM block
+    rows_scratch,    # [frame_tile + K, lane_w] VMEM
+    frames_scratch,  # [frame_tile, K*hop] VMEM
     sem,
     *,
     hop: int,
-    n_fft: int,
+    k_chunks: int,
     frame_tile: int,
-    span: int,
 ):
     b = pl.program_id(0)
     ft = pl.program_id(1)
 
     @pl.when(pl.program_id(2) == 0)
-    def _load_and_frame():
+    def _load_frames():
         dma = pltpu.make_async_copy(
-            x_ref.at[b, pl.ds(ft * frame_tile * hop, span)],
-            x_scratch.at[pl.ds(0, span)],
+            x_ref.at[b, pl.ds(ft * frame_tile, frame_tile + k_chunks), :],
+            rows_scratch,
             sem,
         )
         dma.start()
         dma.wait()
-
-        def body(i, _):
-            frames_scratch[i, :] = x_scratch[pl.ds(i * hop, n_fft)]
-            return 0
-
-        jax.lax.fori_loop(0, frame_tile, body, 0)
+        for k in range(k_chunks):
+            frames_scratch[:, k * hop : (k + 1) * hop] = rows_scratch[
+                k : k + frame_tile, 0:hop
+            ]
 
     out_ref[0] = jnp.dot(
         frames_scratch[:], basis_ref[:], preferred_element_type=jnp.float32
@@ -85,29 +89,34 @@ def stft_pallas(
     freq_tile: int = 512,
 ) -> Tuple[jax.Array, jax.Array]:
     """Real STFT of [B, T] -> (real, imag) each [B, frames, n_fft//2+1]."""
+    hop = hop_length
+    lane_w = _round_up(hop, LANES)
     if center:
         pad = n_fft // 2
         x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
     b, t = x.shape
-    frames = 1 + (t - n_fft) // hop_length
+    frames = 1 + (t - n_fft) // hop
+    k_chunks = -(-n_fft // hop)
     ft_count = -(-frames // frame_tile)
-    span = (frame_tile - 1) * hop_length + n_fft
-    # pad so the last tile's DMA stays in bounds
-    t_padded = (ft_count * frame_tile - 1) * hop_length + n_fft
-    x = jnp.pad(x, ((0, 0), (0, max(0, t_padded - t))))
+
+    # hop-rows layout, padded so every tile's DMA stays in bounds
+    rows_needed = ft_count * frame_tile + k_chunks
+    t_rows = rows_needed * hop
+    x = jnp.pad(x, ((0, 0), (0, max(0, t_rows - t))))[:, :t_rows]
+    x_rows = x.reshape(b, rows_needed, hop)
+    x_rows = jnp.pad(x_rows, ((0, 0), (0, 0), (0, lane_w - hop)))
 
     basis = np.asarray(_forward_basis(n_fft, win_length))  # [n_fft, 2F]
     two_f = basis.shape[1]
     two_f_padded = _round_up(two_f, freq_tile)
-    basis = np.pad(basis, ((0, 0), (0, two_f_padded - two_f)))
+    basis = np.pad(
+        basis,
+        ((0, k_chunks * hop - n_fft), (0, two_f_padded - two_f)),
+    )  # zero rows beyond n_fft: frame tail chunks contribute nothing
     qt_count = two_f_padded // freq_tile
 
     kernel = functools.partial(
-        _stft_kernel,
-        hop=hop_length,
-        n_fft=n_fft,
-        frame_tile=frame_tile,
-        span=span,
+        _stft_kernel, hop=hop, k_chunks=k_chunks, frame_tile=frame_tile,
     )
     out = pl.pallas_call(
         kernel,
@@ -115,7 +124,7 @@ def stft_pallas(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(
-                (n_fft, freq_tile),
+                (k_chunks * hop, freq_tile),
                 lambda b_, ft_, qt_: (0, qt_),
                 memory_space=pltpu.VMEM,
             ),
@@ -129,17 +138,18 @@ def stft_pallas(
             (b, ft_count * frame_tile, two_f_padded), jnp.float32
         ),
         scratch_shapes=[
-            pltpu.VMEM((_round_up(span, 128),), jnp.float32),
-            pltpu.VMEM((frame_tile, n_fft), jnp.float32),
+            pltpu.VMEM((frame_tile + k_chunks, lane_w), jnp.float32),
+            pltpu.VMEM((frame_tile, k_chunks * hop), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * frames * n_fft * two_f_padded,
-            bytes_accessed=4 * (b * t_padded + n_fft * two_f_padded
+            bytes_accessed=4 * (b * rows_needed * LANES
+                                + k_chunks * hop * two_f_padded
                                 + b * frames * two_f_padded),
             transcendentals=0,
         ),
-    )(x, jnp.asarray(basis))
+    )(x_rows, jnp.asarray(basis))
     out = out[:, :frames]
     freq_bins = n_fft // 2 + 1
     return out[..., :freq_bins], out[..., freq_bins:two_f]
