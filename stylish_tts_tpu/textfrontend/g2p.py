@@ -246,9 +246,12 @@ class G2P:
     """text -> IPA phoneme string for the TextCleaner inventory."""
 
     def __init__(self, use_espeak: Optional[bool] = None):
+        from .homographs import Homographs
+
         self.espeak = shutil.which("espeak-ng") or shutil.which("espeak")
         if use_espeak is False:
             self.espeak = None
+        self.homographs = Homographs()
 
     def word(self, word: str) -> str:
         lower = word.lower()
@@ -272,9 +275,12 @@ class G2P:
                 pass
         tokens = re.findall(r"[A-Za-z']+|[,.;:?!()…\"“”—]", text)
         parts: List[str] = []
-        for token in tokens:
+        for i, token in enumerate(tokens):
             if re.match(r"[A-Za-z']", token):
-                parts.append(self.word(token))
+                resolved = self.homographs.resolve(
+                    token, tokens[max(0, i - 3):i], tokens[i + 1:i + 3]
+                )
+                parts.append(resolved if resolved else self.word(token))
             else:
                 parts.append(token)
         return " ".join(parts)

@@ -77,3 +77,31 @@ class TestG2P:
         assert pluralize("kæt") == "kæts"
         assert pluralize("dɑːɡ") == "dɑːɡz"
         assert pluralize("wɪʃ") == "wɪʃəz"
+
+
+class TestHomographs:
+    def test_noun_vs_verb(self):
+        from stylish_tts_tpu.textfrontend.homographs import Homographs
+
+        h = Homographs()
+        assert h.resolve("lead", ["the"], ["pipe"]) == "lɛd"
+        assert h.resolve("lead", ["will"], ["the", "way"]) == "liːd"
+        assert h.resolve("record", ["the"], ["shows"]) == "ɹˈɛkɚd"
+        assert h.resolve("record", ["to"], ["a", "song"]) == "ɹɪkˈoːɹd"
+        assert h.resolve("cat", [], []) is None
+
+    def test_read_tense(self):
+        from stylish_tts_tpu.textfrontend.homographs import Homographs
+
+        h = Homographs()
+        assert h.resolve("read", ["had"], []) == "ɹɛd"
+        assert h.resolve("read", ["to"], []) == "ɹiːd"
+
+    def test_g2p_integration(self):
+        from stylish_tts_tpu.textfrontend import G2P
+
+        g2p = G2P(use_espeak=False)
+        out = g2p("the lead pipe")
+        assert "lɛd" in out
+        out = g2p("they will lead the way")
+        assert "liːd" in out
