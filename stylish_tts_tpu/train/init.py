@@ -71,10 +71,21 @@ def init_model_variables(
         ),
     }
     out: Dict[str, Dict[str, Any]] = {}
-    for i, key in enumerate(keys if keys is not None else models.keys()):
-        k = jax.random.fold_in(rng, i)
-        rngs = {"params": k, "dropout": k, "sample": k}
-        out[key] = models[key].init(rngs, *init_args[key])
+    # Initialise on CPU: init graphs are huge one-shot computations that
+    # take minutes each through the TPU remote-compile service but seconds
+    # on host; the resulting arrays transfer to device on first use.
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    import contextlib
+
+    ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
+    with ctx:
+        for i, key in enumerate(keys if keys is not None else models.keys()):
+            k = jax.random.fold_in(rng, i)
+            rngs = {"params": k, "dropout": k, "sample": k}
+            out[key] = models[key].init(rngs, *init_args[key])
     return out
 
 

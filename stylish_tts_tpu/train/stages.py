@@ -11,6 +11,7 @@ inside one ``jax.jit``.
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, List, Optional, Tuple
@@ -559,6 +560,31 @@ def make_train_step(stage_name: str, ctx: StageContext, base_lr: float):
             if k not in stage.train_models
         }
 
+        # rematerialised adversarial term: the MRD feature maps are the
+        # dominant activation cost (multi-GB at full batch); checkpointing
+        # recomputes them in the backward instead of keeping them live
+        # (jax.checkpoint = the TPU remat lever called out in SURVEY §7.1)
+        def _to_bf16(tree):
+            return jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16), tree
+            )
+
+        @jax.checkpoint
+        def _gen_adversarial(mrd_params, t_fft, p_fft):
+            # discriminator pass in bf16: its feature maps dominate the
+            # activation footprint (32-ch fmaps pad 4x to the 128-lane
+            # grid); scores/features upcast for the loss math
+            real_s, gen_s, real_f, gen_f = ctx.models["mrd"].apply(
+                {"params": _to_bf16(mrd_params)},
+                _to_bf16(t_fft), _to_bf16(p_fft),
+            )
+            f32 = functools.partial(
+                jax.tree_util.tree_map, lambda a: a.astype(jnp.float32)
+            )
+            return L.generator_adversarial_loss(
+                f32(real_s), f32(gen_s), f32(real_f), f32(gen_f)
+            )
+
         def loss_fn(tp):
             params = {**frozen, **tp}
             metrics, disc_inputs, aux = stage.compute_losses(
@@ -566,13 +592,9 @@ def make_train_step(stage_name: str, ctx: StageContext, base_lr: float):
             )
             if has_disc:
                 t_fft, p_fft = disc_inputs
-                real_s, gen_s, real_f, gen_f = ctx.models["mrd"].apply(
-                    {"params": jax.lax.stop_gradient(params["mrd"])},
-                    t_fft, p_fft,
-                )
                 metrics = dict(metrics)
-                metrics["generator"] = L.generator_adversarial_loss(
-                    real_s, gen_s, real_f, gen_f
+                metrics["generator"] = _gen_adversarial(
+                    jax.lax.stop_gradient(params["mrd"]), t_fft, p_fft
                 )
             total = backwards_loss(metrics, ctx.weights)
             return total, (metrics, disc_inputs, aux)
@@ -601,10 +623,21 @@ def make_train_step(stage_name: str, ctx: StageContext, base_lr: float):
             p_fft = jax.tree_util.tree_map(jax.lax.stop_gradient, p_fft)
             batch_size = batch["text"].shape[0]
 
-            def disc_loss_fn(dp):
-                real_s, gen_s, _, _ = ctx.models["mrd"].apply(
-                    {"params": dp}, t_fft, p_fft
+            @functools.partial(jax.checkpoint)
+            def _disc_scores(dp, t_fft, p_fft):
+                bf16 = lambda tree: jax.tree_util.tree_map(
+                    lambda a: a.astype(jnp.bfloat16), tree
                 )
+                real_s, gen_s, _, _ = ctx.models["mrd"].apply(
+                    {"params": bf16(dp)}, bf16(t_fft), bf16(p_fft)
+                )
+                f32 = lambda tree: jax.tree_util.tree_map(
+                    lambda a: a.astype(jnp.float32), tree
+                )
+                return f32(real_s), f32(gen_s)
+
+            def disc_loss_fn(dp):
+                real_s, gen_s = _disc_scores(dp, t_fft, p_fft)
                 total, plain = L.discriminator_loss(real_s, gen_s)
                 return total * math.sqrt(batch_size), (total, plain)
 
