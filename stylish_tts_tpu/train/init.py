@@ -130,7 +130,12 @@ def build_train_state(
         params=params,
         opt_states=opt_states,
         batch_stats=batch_stats,
-        disc_ema={"mrd": jnp.asarray(1.5), "mpd": jnp.asarray(2.5)},
+        # explicit dtypes (weak_type=False): a weak-typed scalar here flips
+        # aval after the first update and forces a full step retrace+recompile
+        disc_ema={
+            "mrd": jnp.array(1.5, dtype=jnp.float32),
+            "mpd": jnp.array(2.5, dtype=jnp.float32),
+        },
         step=jnp.zeros((), jnp.int32),
         **priors,
     )
