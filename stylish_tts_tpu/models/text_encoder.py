@@ -62,7 +62,8 @@ class MultiHeadAttention(nn.Module):
         train: bool = False,
     ) -> jax.Array:
         head_dim = self.channels // self.n_heads
-        rope_dims = int(head_dim * 0.5)
+        # rotate-half pairs dims (i, i+rope/2): rope span must be even
+        rope_dims = head_dim // 2 // 2 * 2
 
         def split_heads(h):
             b, t, _ = h.shape

@@ -112,20 +112,32 @@ def stft(
     if center:
         pad = n_fft // 2
         x = jnp.pad(x, ((0, 0), (pad, pad)), mode=pad_mode)
-    # one strided conv: kernel = windowed DFT basis, out channels = 2F.
-    # XLA lowers this to an implicit-GEMM on the MXU without materialising
-    # the 8-27x frame expansion in HBM.
-    basis = jnp.asarray(_forward_basis(n_fft, win_length))  # [n_fft, 2F]
-    out = jax.lax.conv_general_dilated(
-        x[:, None, :],
-        basis.T[:, None, :],  # [2F, 1, n_fft] OIH
-        window_strides=(hop_length,),
-        padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=jax.lax.Precision.HIGHEST,  # spectral chain must be f32,
-        # not the TPU's default bf16 matmul (gates the mel-MAE target)
-    )  # [B, 2F, frames]
-    out = jnp.swapaxes(out, 1, 2)  # [B, frames, 2F]
+    b, t = x.shape
+    frames = 1 + (t - n_fft) // hop_length
+    # hop-row framing: reshape into hop-sized rows, then frame f chunk k is
+    # row f+k — K static slices + one MXU einsum.  A strided conv with a
+    # 2048-tap kernel expresses the same math but XLA lowers it off the
+    # MXU (measured ~1000x slower on TPU); this formulation stays a GEMM.
+    k_chunks = -(-n_fft // hop_length)
+    rows_needed = frames + k_chunks
+    x = jnp.pad(x, ((0, 0), (0, max(0, rows_needed * hop_length - t))))
+    x_rows = x[:, : rows_needed * hop_length].reshape(
+        b, rows_needed, hop_length
+    )
+    frames_mat = jnp.concatenate(
+        [x_rows[:, k : k + frames] for k in range(k_chunks)], axis=-1
+    )  # [B, frames, K*hop]; columns beyond n_fft hit zero basis rows
+
+    basis = np.asarray(_forward_basis(n_fft, win_length))  # [n_fft, 2F]
+    basis = jnp.asarray(
+        np.pad(basis, ((0, k_chunks * hop_length - n_fft), (0, 0)))
+    )
+    out = jnp.einsum(
+        "btn,nf->btf", frames_mat, basis,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # spectral chain stays f32
+        # (TPU default bf16 would break the mel-MAE target)
+    )  # [B, frames, 2F]
     freq_bins = n_fft // 2 + 1
     return out[..., :freq_bins], out[..., freq_bins:]
 

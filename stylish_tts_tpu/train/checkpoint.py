@@ -80,17 +80,16 @@ def load_checkpoint(path: str | Path, abstract_state):
     PyTree/restore template."""
     path = Path(path)
     with ocp.PyTreeCheckpointer() as ckptr:
+        # `item` gives orbax the TrainState template so the on-disk nested
+        # dict is matched back onto the dataclass/namedtuple structure
+        # (restoring without it fails: dict vs TrainState tree mismatch)
         state = ckptr.restore(
             path.absolute() / "state",
+            item=abstract_state,
             restore_args=jax.tree_util.tree_map(
                 lambda _: ocp.RestoreArgs(), abstract_state
             ),
         )
-    # re-wrap into the dataclass type
-    state = type(abstract_state)(**{
-        k: state[k] if isinstance(state, dict) else getattr(state, k)
-        for k in state
-    }) if isinstance(state, dict) else state
     meta = json.loads((path / "meta.json").read_text())
     manifest = Manifest()
     manifest.load_state_dict(meta["manifest"])

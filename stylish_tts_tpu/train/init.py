@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from ..config import ModelConfig
 from ..models.slm import SLMFeatureExtractor
-from .optim import make_optimizer
+from .optim import init_opt_states as _init_opt_states  # noqa: F401  (compat)
 from .state import TrainState, init_prior_state
 
 INIT_T = 8
@@ -123,8 +123,9 @@ def build_train_state(
     batch_stats = {
         k: v["batch_stats"] for k, v in variables.items() if "batch_stats" in v
     }
-    opt = make_optimizer()
-    opt_states = {k: opt.init(params[k]) for k in params}
+    from .optim import init_opt_states
+
+    opt_states = init_opt_states(params)
     priors = init_prior_state(mc.text_encoder.tokens + 1)
     return TrainState(
         params=params,

@@ -52,8 +52,20 @@ def make_optimizer() -> optax.GradientTransformation:
 
 
 def init_opt_states(params: Dict[str, Any]) -> Dict[str, Any]:
+    """One optimizer state per module, over the *flattened* param vector.
+
+    A model here has O(1000) small leaves; per-leaf adam updates become
+    thousands of lane-padded micro-kernels on TPU (measured ~4 s/step for
+    one module).  Flattening to a single f32 vector turns the update into
+    five fused vector ops."""
+    import jax.flatten_util
+
     opt = make_optimizer()
-    return {key: opt.init(params[key]) for key in params}
+    out = {}
+    for key in params:
+        flat, _ = jax.flatten_util.ravel_pytree(params[key])
+        out[key] = opt.init(flat)
+    return out
 
 
 def set_learning_rate(opt_state, lr: jax.Array):
@@ -64,8 +76,12 @@ def set_learning_rate(opt_state, lr: jax.Array):
 
 
 def apply_updates(params, grads, opt_state, lr: jax.Array):
-    """One AdamW step for a single module at the given LR."""
+    """One AdamW step for a single module at the given LR (flat-vector)."""
+    import jax.flatten_util
+
+    flat_params, unravel = jax.flatten_util.ravel_pytree(params)
+    flat_grads, _ = jax.flatten_util.ravel_pytree(grads)
     opt = make_optimizer()
     opt_state = set_learning_rate(opt_state, lr)
-    updates, new_opt_state = opt.update(grads, opt_state, params)
-    return optax.apply_updates(params, updates), new_opt_state
+    updates, new_opt_state = opt.update(flat_grads, opt_state, flat_params)
+    return unravel(optax.apply_updates(flat_params, updates)), new_opt_state
