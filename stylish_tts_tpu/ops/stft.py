@@ -82,23 +82,6 @@ def _inverse_basis(n_fft: int, win_length: int) -> np.ndarray:
     return np.concatenate([real_basis, imag_basis], axis=0).astype(np.float32)
 
 
-def frame_signal(x: jax.Array, n_fft: int, hop_length: int) -> jax.Array:
-    """[B, T] -> [B, frames, n_fft] overlapping frames (stride = hop).
-
-    Uses conv_general_dilated_patches which XLA lowers to an efficient
-    strided gather on TPU; the result feeds a single large matmul."""
-    frames = 1 + (x.shape[-1] - n_fft) // hop_length
-    patches = jax.lax.conv_general_dilated_patches(
-        x[:, None, :],
-        filter_shape=(n_fft,),
-        window_strides=(hop_length,),
-        padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-    )  # [B, n_fft, frames]
-    assert patches.shape[-1] == frames
-    return jnp.swapaxes(patches, 1, 2)
-
-
 def stft(
     x: jax.Array,
     *,

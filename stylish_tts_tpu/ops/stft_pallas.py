@@ -122,7 +122,7 @@ def stft_pallas(
         kernel,
         grid=(b, ft_count, qt_count),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
                 (k_chunks * hop, freq_tile),
                 lambda b_, ft_, qt_: (0, qt_),

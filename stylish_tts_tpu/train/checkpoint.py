@@ -62,7 +62,9 @@ def save_checkpoint(
     path = Path(out_dir) / name
     path.parent.mkdir(parents=True, exist_ok=True)
     with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(path.absolute() / "state", train_state)
+        # force=True: re-saving the same name must overwrite (e.g. resuming
+        # from checkpoint_final and finishing writes checkpoint_final again)
+        ckptr.save(path.absolute() / "state", train_state, force=True)
     meta = {
         "manifest": manifest.state_dict(),
         "normalization": asdict(normalization),

@@ -569,39 +569,68 @@ def make_train_step(stage_name: str, ctx: StageContext, base_lr: float):
                 lambda a: a.astype(jnp.bfloat16), tree
             )
 
-        @jax.checkpoint
-        def _gen_adversarial(mrd_params, t_fft, p_fft):
-            # discriminator pass in bf16: its feature maps dominate the
-            # activation footprint (32-ch fmaps pad 4x to the 128-lane
-            # grid); scores/features upcast for the loss math
-            real_s, gen_s, real_f, gen_f = ctx.models["mrd"].apply(
-                {"params": _to_bf16(mrd_params)},
-                _to_bf16(t_fft), _to_bf16(p_fft),
-            )
-            f32 = functools.partial(
-                jax.tree_util.tree_map, lambda a: a.astype(jnp.float32)
-            )
-            return L.generator_adversarial_loss(
-                f32(real_s), f32(gen_s), f32(real_f), f32(gen_f)
-            )
+        sg_tree = functools.partial(
+            jax.tree_util.tree_map, jax.lax.stop_gradient
+        )
+        f32_tree = functools.partial(
+            jax.tree_util.tree_map, lambda a: a.astype(jnp.float32)
+        )
 
-        def loss_fn(tp):
+        # BOTH GAN roles in one checkpointed region returning scalars only
+        # (fmaps as remat outputs would pin multi-GB in HBM): the generator
+        # view (disc params detached, generated spectra live) and the
+        # discriminator view (params live, spectra detached) are
+        # HLO-identical forwards after stop_gradient erasure, so XLA CSE
+        # computes the dominant MRD conv forward once instead of twice.
+        @jax.checkpoint
+        def _gan_losses(mrd_params, t_fft, p_fft):
+            bp = _to_bf16(mrd_params)
+            bt, bf = _to_bf16(t_fft), _to_bf16(p_fft)
+            g_rs, g_gs, g_rf, g_gf = ctx.models["mrd"].apply(
+                {"params": sg_tree(bp)}, bt, bf
+            )
+            gen_loss = L.generator_adversarial_loss(
+                f32_tree(g_rs), f32_tree(g_gs),
+                f32_tree(g_rf), f32_tree(g_gf),
+            )
+            d_rs, d_gs, _, _ = ctx.models["mrd"].apply(
+                {"params": bp}, sg_tree(bt), sg_tree(bf)
+            )
+            d_total, d_plain = L.discriminator_loss(
+                f32_tree(d_rs), f32_tree(d_gs)
+            )
+            return gen_loss, d_total, d_plain
+
+        batch_size = batch["text"].shape[0]
+
+        def loss_fn(allp):
+            tp = {k: allp[k] for k in stage.train_models}
             params = {**frozen, **tp}
             metrics, disc_inputs, aux = stage.compute_losses(
                 ctx, params, state.batch_stats, batch, rngs, state
             )
+            d_total = d_plain = jnp.zeros(())
             if has_disc:
                 t_fft, p_fft = disc_inputs
                 metrics = dict(metrics)
-                metrics["generator"] = _gen_adversarial(
-                    jax.lax.stop_gradient(params["mrd"]), t_fft, p_fft
+                gen_loss, d_total, d_plain = _gan_losses(
+                    allp["mrd"], t_fft, p_fft
                 )
+                metrics["generator"] = gen_loss
             total = backwards_loss(metrics, ctx.weights)
-            return total, (metrics, disc_inputs, aux)
+            if has_disc:
+                # √batch scaling of the disc update (reference
+                # train/stage.py:100-129); grad-isolated from the
+                # generator term by the stop_gradients above
+                total = total + d_total * math.sqrt(batch_size)
+            return total, (metrics, disc_inputs, aux, d_total, d_plain)
 
-        (_, (metrics, disc_inputs, aux)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(train_params)
+        all_params = dict(train_params)
+        if has_disc:
+            all_params["mrd"] = state.params["mrd"]
+        (_, (metrics, disc_inputs, aux, d_total, d_plain)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(all_params)
+        )
 
         lr = cosine_logical_lr(base_lr, state.step, ctx.step_limit)
         new_params = dict(state.params)
@@ -618,35 +647,9 @@ def make_train_step(stage_name: str, ctx: StageContext, base_lr: float):
 
         new_ema = dict(state.disc_ema)
         if has_disc:
-            t_fft, p_fft = disc_inputs
-            t_fft = jax.tree_util.tree_map(jax.lax.stop_gradient, t_fft)
-            p_fft = jax.tree_util.tree_map(jax.lax.stop_gradient, p_fft)
-            batch_size = batch["text"].shape[0]
-
-            @functools.partial(jax.checkpoint)
-            def _disc_scores(dp, t_fft, p_fft):
-                bf16 = lambda tree: jax.tree_util.tree_map(
-                    lambda a: a.astype(jnp.bfloat16), tree
-                )
-                real_s, gen_s, _, _ = ctx.models["mrd"].apply(
-                    {"params": bf16(dp)}, bf16(t_fft), bf16(p_fft)
-                )
-                f32 = lambda tree: jax.tree_util.tree_map(
-                    lambda a: a.astype(jnp.float32), tree
-                )
-                return f32(real_s), f32(gen_s)
-
-            def disc_loss_fn(dp):
-                real_s, gen_s = _disc_scores(dp, t_fft, p_fft)
-                total, plain = L.discriminator_loss(real_s, gen_s)
-                return total * math.sqrt(batch_size), (total, plain)
-
-            dgrads, (d_total, d_plain) = jax.grad(
-                disc_loss_fn, has_aux=True
-            )(new_params["mrd"])
             multiplier = L.disc_lr_multiplier(state.disc_ema["mrd"])
             new_params["mrd"], new_opt["mrd"] = apply_updates(
-                new_params["mrd"], dgrads, state.opt_states["mrd"],
+                state.params["mrd"], grads["mrd"], state.opt_states["mrd"],
                 lr * multiplier,
             )
             new_ema["mrd"] = state.disc_ema["mrd"] * 0.95 + d_plain * 0.05
