@@ -59,8 +59,8 @@ def main() -> None:
         models=models, model_config=mc, config=cfg,
         mel_mean=-4.0, mel_std=4.0, step_limit=1000,
         duration_class_weight=jnp.ones((16,)),
-        slm_params=init_slm_params(jax.random.PRNGKey(7)),
     )
+    frozen0 = {"slm": init_slm_params(jax.random.PRNGKey(7), mc)}
 
     devices = jax.devices()
     results = {}
@@ -86,12 +86,13 @@ def main() -> None:
         with mesh:
             state = replicate(state0, mesh)
             sbatch = shard_batch(batch, mesh)
-            state, metrics = step(state, sbatch, jax.random.PRNGKey(1))
+            frozen = replicate(frozen0, mesh)
+            state, metrics = step(state, sbatch, jax.random.PRNGKey(1), frozen)
             jax.block_until_ready(metrics["loss"])  # compile
             t0 = time.perf_counter()
             for i in range(args.steps):
                 state, metrics = step(
-                    state, sbatch, jax.random.PRNGKey(2 + i)
+                    state, sbatch, jax.random.PRNGKey(2 + i), frozen
                 )
             jax.block_until_ready(metrics["loss"])
             wall = time.perf_counter() - t0

@@ -102,6 +102,9 @@ class HubertConfig(BaseModel):
     model: str = "dr87/spinv2_rvc"
     hidden_dim: int = 768
     sr: int = 16000
+    # safetensors from scripts/convert_hubert.py (encoder weights for
+    # models/ssl.py:AdaptiveHubert); None = random-init fallback
+    weights_path: Optional[str] = None
 
 
 class SpeakerEmbedderConfig(BaseModel):
@@ -111,6 +114,12 @@ class SpeakerEmbedderConfig(BaseModel):
 class SlmConfig(BaseModel):
     model: str = "microsoft/wavlm-base-plus"
     sr: int = 16000
+    # transformer layers of the WavLM-shaped feature net used by the slm
+    # loss (12 = full reference parity; fewer trades fidelity for step time)
+    layers: int = 12
+    # safetensors produced by scripts/convert_wavlm.py; None = frozen
+    # random-feature fallback (air-gapped default)
+    weights_path: Optional[str] = None
 
 
 class SymbolConfig(BaseModel):

@@ -35,7 +35,9 @@ class AdaptiveHubert(nn.Module):
     def __call__(self, wave: jax.Array, time_dim: int) -> jax.Array:
         wave16 = resample(wave, self.model_sr, self.hubert_sr)
         states = SLMFeatureExtractor(
-            hidden_dim=self.hidden_dim, n_layers=self.n_layers, name="encoder"
+            hidden_dim=self.hidden_dim, n_layers=self.n_layers,
+            rel_pos_bias=False,  # HuBERT-base = plain wav2vec2 attention
+            name="encoder",
         )(wave16)
         x = states[-1]  # [B, frames, hidden]
         x = nn.Dense(self.proj_dim, name="final_proj")(x)

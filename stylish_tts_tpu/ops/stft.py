@@ -61,6 +61,55 @@ def _forward_basis(n_fft: int, win_length: int) -> np.ndarray:
     return np.concatenate([real, imag], axis=1).astype(np.float32)
 
 
+def _window_dev(win_length: int, n_fft: int) -> jax.Array:
+    """Periodic Hann window center-padded to n_fft, built on device."""
+    n = jnp.arange(win_length, dtype=jnp.float32)
+    w = 0.5 - 0.5 * jnp.cos(n * jnp.float32(2.0 * np.pi / win_length))
+    if win_length < n_fft:
+        left = (n_fft - win_length) // 2
+        w = jnp.pad(w, (left, n_fft - win_length - left))
+    elif win_length > n_fft:
+        w = w[:n_fft]
+    return w
+
+
+def _dft_angles(n_fft: int, freq_bins: int) -> jax.Array:
+    """[n_fft, freq_bins] DFT phase angles 2π·n·k/N built on device.
+
+    Device-side construction matters: a [n_fft, 2F] f32 numpy basis is
+    embedded as a literal at EVERY stft/istft call site (the step graph
+    carried >400 MB of them, tripping remote-compile request limits).
+    The product is phase-reduced in exact int32 ((n·k) mod N < 2^31)
+    before the f32 multiply so cos/sin stay accurate."""
+    n = jnp.arange(n_fft, dtype=jnp.int32)[:, None]
+    k = jnp.arange(freq_bins, dtype=jnp.int32)[None, :]
+    nk = (n * k) % n_fft
+    return nk.astype(jnp.float32) * jnp.float32(2.0 * np.pi / n_fft)
+
+
+def _forward_basis_dev(n_fft: int, win_length: int) -> jax.Array:
+    """Device-built windowed forward DFT basis [n_fft, 2 * freq_bins]."""
+    freq_bins = n_fft // 2 + 1
+    angle = _dft_angles(n_fft, freq_bins)
+    window = _window_dev(win_length, n_fft)[:, None]
+    return jnp.concatenate(
+        [jnp.cos(angle) * window, -jnp.sin(angle) * window], axis=1
+    )
+
+
+def _inverse_basis_dev(n_fft: int, win_length: int) -> jax.Array:
+    """Device-built windowed inverse DFT basis [2 * freq_bins, n_fft]."""
+    freq_bins = n_fft // 2 + 1
+    angle = _dft_angles(n_fft, freq_bins).T  # [F, n_fft]
+    k = jnp.arange(freq_bins)[:, None]
+    nyquist = (n_fft % 2 == 0) & (k == freq_bins - 1)
+    scale = jnp.where((k == 0) | nyquist, 1.0, 2.0) / n_fft
+    window = _window_dev(win_length, n_fft)[None, :]
+    real_basis = jnp.cos(angle) * scale * window
+    imag_basis = -jnp.sin(angle) * scale * window
+    return jnp.concatenate([real_basis, imag_basis], axis=0)
+
+
 @functools.lru_cache(maxsize=32)
 def _inverse_basis(n_fft: int, win_length: int) -> np.ndarray:
     """Windowed inverse DFT basis, shape [2 * freq_bins, n_fft].
@@ -111,9 +160,9 @@ def stft(
         [x_rows[:, k : k + frames] for k in range(k_chunks)], axis=-1
     )  # [B, frames, K*hop]; columns beyond n_fft hit zero basis rows
 
-    basis = np.asarray(_forward_basis(n_fft, win_length))  # [n_fft, 2F]
-    basis = jnp.asarray(
-        np.pad(basis, ((0, k_chunks * hop_length - n_fft), (0, 0)))
+    basis = jnp.pad(
+        _forward_basis_dev(n_fft, win_length),  # [n_fft, 2F]
+        ((0, k_chunks * hop_length - n_fft), (0, 0)),
     )
     out = jnp.einsum(
         "btn,nf->btf", frames_mat, basis,
@@ -170,7 +219,7 @@ def istft(
     Matches torch.istft: y = OLA(w · irfft(X)) / OLA(w²), then the center
     padding is trimmed.  The window-envelope denominator depends only on
     static shapes, so XLA constant-folds it."""
-    basis = jnp.asarray(_inverse_basis(n_fft, win_length))
+    basis = _inverse_basis_dev(n_fft, win_length)
     coeffs = jnp.concatenate([real, imag], axis=-1)  # [B, frames, 2F]
     frames_time = jnp.einsum(
         "btf,fn->btn", coeffs, basis,
@@ -180,7 +229,7 @@ def istft(
     y = _overlap_add(frames_time, hop_length)
 
     n_frames = real.shape[1]
-    w2 = jnp.asarray(_padded_window(win_length, n_fft) ** 2)
+    w2 = _window_dev(win_length, n_fft) ** 2
     env = _overlap_add(
         jnp.broadcast_to(w2, (1, n_frames, n_fft)), hop_length
     )

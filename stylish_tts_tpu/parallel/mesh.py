@@ -59,12 +59,12 @@ def make_parallel_train_step(step_fn, mesh: Mesh):
             for k, v in batch.items()
         }
 
-    def wrapped(state, batch, rng):
-        return step_fn(state, batch, rng)
+    def wrapped(state, batch, rng, frozen=None):
+        return step_fn(state, batch, rng, frozen)
 
     return jax.jit(
         wrapped,
-        in_shardings=(replicated, None, replicated),
+        in_shardings=(replicated, None, replicated, replicated),
         out_shardings=(replicated, replicated),
         donate_argnums=(0,),
     )

@@ -89,10 +89,17 @@ def init_model_variables(
     return out
 
 
-def init_slm_params(rng: jax.Array) -> Any:
-    """Frozen random-feature SLM (see models/slm.py)."""
-    slm = SLMFeatureExtractor()
-    return slm.init({"params": rng}, jnp.zeros((1, 1600)))["params"]
+def init_slm_params(rng: jax.Array, mc: Optional[ModelConfig] = None) -> Any:
+    """Frozen SLM feature net (see models/slm.py): converted WavLM weights
+    when ``mc.slm.weights_path`` is set, random features otherwise."""
+    layers = mc.slm.layers if mc is not None else 12
+    slm = SLMFeatureExtractor(n_layers=layers)
+    params = slm.init({"params": rng}, jnp.zeros((1, 1600)))["params"]
+    if mc is not None and mc.slm.weights_path:
+        from .checkpoint import load_model_safetensors
+
+        params = load_model_safetensors(mc.slm.weights_path, params)
+    return params
 
 
 def init_ssl_params(rng: jax.Array, mc: ModelConfig):
@@ -108,6 +115,14 @@ def init_ssl_params(rng: jax.Array, mc: ModelConfig):
     hubert_p = hubert.init(
         {"params": k1}, jnp.zeros((1, 4800)), 12
     )["params"]
+    if mc.hubert.weights_path:
+        from .checkpoint import load_model_safetensors
+
+        # converted file holds the bare encoder tree (scripts/convert_hubert.py)
+        hubert_p = dict(hubert_p)
+        hubert_p["encoder"] = load_model_safetensors(
+            mc.hubert.weights_path, hubert_p["encoder"]
+        )
     spk = SpeakerEmbeddingModel(
         model_sr=mc.sample_rate, hidden_dim=mc.speaker_embedder.hidden_dim
     )

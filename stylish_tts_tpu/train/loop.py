@@ -192,7 +192,7 @@ def train_model(
     rng = jax.random.PRNGKey(0)
     variables = init_model_variables(ctx.models, model_config, rng)
     state = build_train_state(variables, model_config)
-    slm_params = init_slm_params(jax.random.PRNGKey(7))
+    slm_params = init_slm_params(jax.random.PRNGKey(7), model_config)
 
     if checkpoint:
         state, ctx.manifest, ctx.normalization, _ = load_checkpoint(
@@ -218,6 +218,15 @@ def train_model(
         ctx.manifest.steps_per_epoch = steps_per_epoch
 
         needs_ssl = current.startswith(("hubert", "cfm"))
+        # frozen feature-net params ride as jit ARGUMENTS (closure capture
+        # would embed them as literals in the HLO — see StageContext)
+        frozen = {
+            "slm": slm_params,
+            "ssl": (
+                init_ssl_params(jax.random.PRNGKey(11), model_config)
+                if needs_ssl else None
+            ),
+        }
         stage_ctx = StageContext(
             models=ctx.models,
             model_config=model_config,
@@ -227,11 +236,6 @@ def train_model(
             step_limit=step_limit,
             duration_class_weight=jnp.asarray(
                 ctx.train_dataset.duration_weights
-            ),
-            slm_params=slm_params,
-            ssl_params=(
-                init_ssl_params(jax.random.PRNGKey(11), model_config)
-                if needs_ssl else None
             ),
             f0_log2_mean=ctx.normalization.f0_log2_mean,
             f0_log2_std=ctx.normalization.f0_log2_std,
@@ -271,7 +275,7 @@ def train_model(
                     for k, v in batch.items()
                     if k not in ("paths", "bin")
                 }
-                state, metrics = step_fn(state, device_batch, step_rng)
+                state, metrics = step_fn(state, device_batch, step_rng, frozen)
                 ctx.manifest.current_step += 1
                 ctx.manifest.current_total_step += 1
                 ctx.manifest.total_trained_audio_seconds += (
@@ -310,7 +314,7 @@ def train_model(
                                 for k, v in vbatch.items()
                                 if k not in ("paths", "bin")
                             }
-                            state, _ = step_fn(state, vdev, vrng)
+                            state, _ = step_fn(state, vdev, vrng, frozen)
                     _validate(
                         ctx, state, eval_fn, val_manager, current, rng,
                         val_samples,

@@ -11,6 +11,7 @@ inside one ``jax.jit``.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import math
 from dataclasses import dataclass, field
@@ -45,6 +46,12 @@ class StageContext:
     mel_std: float
     step_limit: int                       # steps in this stage (for the LR axis)
     duration_class_weight: jnp.ndarray = None
+    # Frozen feature-net params (SLM / hubert+speaker).  NEVER close a
+    # jitted step over concrete arrays here: closure constants lower to
+    # embedded HLO literals — the 94M-param WavLM made the serialized
+    # step 380+ MB, tripping remote-compile request limits.  The train
+    # step takes them as a `frozen` ARGUMENT and rebinds these fields on
+    # a per-trace copy of the context (tracers are fine to close over).
     slm_params: Any = None                # frozen SLM feature extractor params
     ssl_params: Any = None                # frozen (hubert, speaker) params
     f0_log2_mean: float = 7.0
@@ -65,7 +72,7 @@ class StageContext:
             mc.duration_predictor.duration_classes,
             mc.duration_predictor.max_duration,
         )
-        self.slm = SLMFeatureExtractor()
+        self.slm = SLMFeatureExtractor(n_layers=mc.slm.layers)
         self.hubert = AdaptiveHubert(
             model_sr=mc.sample_rate,
             hubert_sr=mc.hubert.sr,
@@ -116,8 +123,19 @@ class StageContext:
         slm_sr = self.model_config.slm.sr
         gt16 = resample(jax.lax.stop_gradient(audio_gt), sr, slm_sr)
         pred16 = resample(audio_pred, sr, slm_sr)
-        gt_states = self.slm.apply({"params": self.slm_params}, gt16)
-        pred_states = self.slm.apply({"params": self.slm_params}, pred16)
+        # frozen net in bf16 (reference runs WavLM under bf16 autocast);
+        # remat the pred-side forward — with 12 layers its activations
+        # would otherwise dominate the loss-path footprint
+        bf16 = functools.partial(
+            jax.tree_util.tree_map, lambda a: a.astype(jnp.bfloat16)
+        )
+        slm_p = bf16(self.slm_params)
+        gt_states = self.slm.apply(
+            {"params": slm_p}, gt16.astype(jnp.bfloat16)
+        )
+        pred_states = jax.checkpoint(
+            lambda a: self.slm.apply({"params": slm_p}, a)
+        )(pred16.astype(jnp.bfloat16))
         return slm_feature_loss(gt_states, pred_states)
 
 
@@ -551,7 +569,21 @@ def make_train_step(stage_name: str, ctx: StageContext, base_lr: float):
     stage = STAGES[stage_name]
     has_disc = len(stage.discriminators) > 0
 
-    def step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
+    def step(
+        state: TrainState,
+        batch: Dict[str, jax.Array],
+        rng: jax.Array,
+        frozen: Optional[Dict[str, Any]] = None,
+    ):
+        # rebind frozen feature-net params (jit arguments, possibly
+        # tracers) onto a per-trace context copy — see StageContext note
+        sctx = ctx
+        if frozen is not None:
+            sctx = dataclasses.replace(
+                ctx,
+                slm_params=frozen.get("slm", ctx.slm_params),
+                ssl_params=frozen.get("ssl", ctx.ssl_params),
+            )
         rng_d, rng_s = jax.random.split(rng)
         rngs = {"dropout": rng_d, "sample": rng_s}
         train_params = {k: state.params[k] for k in stage.train_models}
@@ -607,7 +639,7 @@ def make_train_step(stage_name: str, ctx: StageContext, base_lr: float):
             tp = {k: allp[k] for k in stage.train_models}
             params = {**frozen, **tp}
             metrics, disc_inputs, aux = stage.compute_losses(
-                ctx, params, state.batch_stats, batch, rngs, state
+                sctx, params, state.batch_stats, batch, rngs, state
             )
             d_total = d_plain = jnp.zeros(())
             if has_disc:

@@ -44,9 +44,11 @@ def setup():
         models=models, model_config=mc, config=cfg,
         mel_mean=-4.0, mel_std=4.0, step_limit=100,
         duration_class_weight=jnp.ones((16,)),
-        slm_params=init_slm_params(rng),
-        ssl_params=init_ssl_params(rng, mc),
     )
+    frozen = {
+        "slm": init_slm_params(rng, mc),
+        "ssl": init_ssl_params(rng, mc),
+    }
     B, T, Fm = 2, 10, 24
     batch = dict(
         text=jnp.zeros((B, T), jnp.int32),
@@ -58,7 +60,7 @@ def setup():
             jnp.float32,
         ) * 0.1,
     )
-    return ctx, state, batch
+    return ctx, state, batch, frozen
 
 
 @pytest.mark.parametrize(
@@ -69,9 +71,9 @@ def setup():
 def test_stage_step_runs(setup, stage):
     from stylish_tts_tpu.train.stages import make_train_step
 
-    ctx, state, batch = setup
+    ctx, state, batch, frozen = setup
     step = jax.jit(make_train_step(stage, ctx, 1e-4))
-    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1), frozen)
     assert np.isfinite(float(metrics["loss"])), metrics
     # parameters of the stage's train models changed
     from stylish_tts_tpu.train.stages import STAGES
@@ -92,7 +94,7 @@ def test_stage_step_runs(setup, stage):
 def test_eval_step_runs(setup, stage):
     from stylish_tts_tpu.train.stages import make_eval_step
 
-    ctx, state, batch = setup
+    ctx, state, batch, _ = setup
     step = jax.jit(make_eval_step(stage, ctx))
     metrics, audio = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
