@@ -208,6 +208,11 @@ class TrainingConfig(BaseModel):
     # TPU replaces OOM probing with ahead-of-time per-bucket memory planning;
     # this caps the device-memory budget used by the planner (MiB).
     memory_budget_mib: int = 14000
+    # refine the heuristic per-bucket plan from XLA's compiled memory
+    # analysis of the largest bucket (one extra AOT compile per stage the
+    # first time a stage runs) — the TPU-native form of the reference's
+    # OOM probe loop (train/batch_manager.py:70-164)
+    aot_memory_plan: bool = False
 
 
 class DatasetConfig(BaseModel):

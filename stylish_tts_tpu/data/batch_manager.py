@@ -47,9 +47,13 @@ class BatchManager:
         self.num_workers = num_workers
         self.time_bins, self.seconds_per_bin = dataset.time_bins()
         self.batch_sizes: Dict[str, int] = {}
+        # set when no persisted batch-size file existed and the heuristic
+        # plan was used — the signal that an AOT refine pass is worthwhile
+        self.freshly_planned = False
         self.load_batch_sizes()
         if not self.batch_sizes:
             self.plan_batch_sizes()
+            self.freshly_planned = True
 
     # -- batch-size planning / persistence -------------------------------- #
 
@@ -84,6 +88,7 @@ class BatchManager:
         stage_inputs,
         budget_bytes: int,
         probe_batch: int = 8,
+        frozen=None,
     ) -> None:
         """TPU-native replacement for the reference's OOM probe loop
         (train/batch_manager.py:70-164): ahead-of-time compile the step for
@@ -112,7 +117,9 @@ class BatchManager:
                 spec[key] = jax.ShapeDtypeStruct(shape, dtype)
         rng_spec = jax.ShapeDtypeStruct((2,), jnp.uint32)
         try:
-            compiled = jax.jit(step_fn).lower(state, spec, rng_spec).compile()
+            compiled = jax.jit(step_fn).lower(
+                state, spec, rng_spec, frozen
+            ).compile()
             analysis = compiled.memory_analysis()
             total = (
                 analysis.temp_size_in_bytes

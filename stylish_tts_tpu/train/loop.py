@@ -51,6 +51,7 @@ from .stages import (
     make_eval_step,
     make_train_step,
 )
+from .state import merge_state, restrict_state
 
 logger = logging.getLogger(__name__)
 
@@ -198,6 +199,9 @@ def train_model(
         state, ctx.manifest, ctx.normalization, _ = load_checkpoint(
             checkpoint, state
         )
+        # keep the full restored tree host-side; each stage transfers only
+        # its restricted view to the device (see restrict_state)
+        state = jax.device_get(state)
         logger.info("restored checkpoint %s", checkpoint)
 
     current = stage_name
@@ -240,6 +244,30 @@ def train_model(
             f0_log2_mean=ctx.normalization.f0_log2_mean,
             f0_log2_std=ctx.normalization.f0_log2_std,
         )
+        # stage-scoped device state: only modules this stage trains,
+        # evaluates or discriminates with go to the device (reference
+        # prepare_model, train/stage.py:332-349); the rest stays host-side
+        # in full_state and is merged back for checkpoints / stage advance
+        stage_def = STAGES[current]
+        needed = (
+            set(stage_def.train_models)
+            | set(stage_def.eval_models)
+            | set(stage_def.discriminators)
+        )
+        full_state, state = state, restrict_state(state, needed)
+        if config.training.aot_memory_plan and ctx.batch_manager.freshly_planned:
+            # replace the heuristic bucket plan with XLA's compiled memory
+            # analysis (the reference's OOM probe, moved ahead of time)
+            ctx.batch_manager.refine_plan_aot(
+                make_train_step(current, stage_ctx, plan.lr),
+                state, model_config,
+                stage_inputs=STAGES[current].inputs,
+                budget_bytes=config.training.memory_budget_mib * 2**20,
+                frozen=frozen,
+            )
+            steps_per_epoch = ctx.batch_manager.steps_per_epoch()
+            stage_ctx.step_limit = max(steps_per_epoch * plan.epochs, 1)
+            ctx.manifest.steps_per_epoch = steps_per_epoch
         step_fn = jax.jit(
             make_train_step(current, stage_ctx, plan.lr), donate_argnums=(0,)
         )
@@ -320,7 +348,10 @@ def train_model(
                         val_samples,
                     )
                 if step % config.training.save_interval == 0:
-                    _save(ctx, state, config, model_config)
+                    _save(
+                        ctx, merge_state(full_state, state), config,
+                        model_config,
+                    )
                 if max_steps and ctx.manifest.current_total_step >= max_steps:
                     done = True
                     break
@@ -329,6 +360,7 @@ def train_model(
             if done:
                 break
 
+        state = merge_state(full_state, state)
         if current == "alignment":
             save_model_safetensors(
                 ctx.base_out_dir / "alignment_model.safetensors",

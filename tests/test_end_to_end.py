@@ -131,3 +131,28 @@ def test_duration_stage_and_inference(tiny_setup, tmp_path):
     assert np.isfinite(audio).all()
     long = synth.synthesize_longform(["abc", "def"])
     assert long.shape[0] > 2 * audio.shape[0] * 0  # non-empty concat
+
+
+def test_aot_memory_plan_refines_batch_sizes(tiny_setup, tmp_path):
+    """training.aot_memory_plan=True routes stage start through
+    BatchManager.refine_plan_aot: XLA memory analysis of the compiled step
+    sizes every bucket (the reference's OOM probe, ahead of time)."""
+    import copy
+    import json
+
+    from stylish_tts_tpu.train.loop import train_model
+
+    root, config, mc = tiny_setup
+    config = copy.deepcopy(config)
+    config.training.aot_memory_plan = True
+    config.training.memory_budget_mib = 512  # small budget -> small batches
+    out = tmp_path / "out_aot"
+    manifest = train_model(
+        config=config, model_config=mc, out_dir=str(out),
+        stage_name="duration", max_steps=1,
+    )
+    assert manifest.current_total_step >= 1
+    sizes = json.loads(
+        (out / "duration" / "duration_batch_sizes.json").read_text()
+    )
+    assert sizes and all(v >= 1 for v in sizes.values())
