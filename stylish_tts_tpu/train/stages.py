@@ -97,6 +97,14 @@ class StageContext:
         )
         return out
 
+    # NOTE: rematerialising the speech_predictor forward (jax.checkpoint
+    # around the whole module) was measured and REJECTED: XLA's buffer
+    # assignment grew temp memory 11.5 -> 14.3 GiB at batch 8 (the
+    # scheduler absorbs freed HBM) and batch 16 still failed to compile,
+    # so the extra recompute bought nothing.  The targeted remats that do
+    # pay are the GAN discriminator pass and the pred-side SLM forward
+    # (below / make_train_step).
+
     def mel_and_energy(self, audio_gt):
         mel, mel_length = calculate_mel(
             audio_gt, self.to_mel, self.mel_mean, self.mel_std
