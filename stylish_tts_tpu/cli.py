@@ -42,8 +42,12 @@ def main() -> None:
 @click.option("--out", "out_dir", required=True, type=click.Path())
 @click.option("--stage", default="acoustic")
 @click.option("--checkpoint", default=None, type=click.Path())
+@click.option("--init-torch", default=None, type=click.Path(exists=True),
+              help="seed model weights from a reference (torch) "
+                   "accelerator checkpoint dir before training")
 @click.option("--max-steps", default=None, type=int, help="debug: stop early")
-def train_cmd(config_path, model_config_path, out_dir, stage, checkpoint, max_steps):
+def train_cmd(config_path, model_config_path, out_dir, stage, checkpoint,
+              init_torch, max_steps):
     from .train.loop import train_model
     from .train.stages import is_valid_stage, valid_stage_list
 
@@ -58,6 +62,7 @@ def train_cmd(config_path, model_config_path, out_dir, stage, checkpoint, max_st
         out_dir=out_dir,
         stage_name=stage,
         checkpoint=checkpoint,
+        init_torch=init_torch,
         max_steps=max_steps,
     )
 
@@ -125,6 +130,36 @@ def convert_cmd(config_path, model_config_path, checkpoint, out_path):
         config, model_config, checkpoint_dir=checkpoint, out_path=out_path
     )
     click.echo(f"wrote {out_path}")
+
+
+@main.command("import-torch")
+@click.option("--checkpoint", required=True, type=click.Path(exists=True),
+              help="reference accelerator save_state dir (or a single "
+                   "state-dict file with --model)")
+@click.option("--model-config", "model_config_path", default=None,
+              type=click.Path(), help="model config YAML (defaults match "
+                                      "the reference model.yml)")
+@click.option("--out", "out_dir", required=True, type=click.Path())
+@click.option("--model", "single_model", default=None,
+              help="convert just one module from a single state-dict file")
+def import_torch_cmd(checkpoint, model_config_path, out_dir, single_model):
+    """Migrate a torch reference checkpoint to a TPU inference artifact.
+
+    The result is consumed directly by `speak` (and `align` when the
+    aligner weights are present)."""
+    from .config import ModelConfig, load_model_config_yaml
+
+    from .export.import_torch import import_torch_checkpoint
+
+    mc = (
+        load_model_config_yaml(model_config_path)
+        if model_config_path
+        else ModelConfig()
+    )
+    out = import_torch_checkpoint(
+        checkpoint, out_dir, mc, single_model=single_model
+    )
+    click.echo(f"wrote {out}")
 
 
 @main.command("speak")

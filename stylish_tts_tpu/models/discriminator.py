@@ -36,12 +36,18 @@ class SpecDiscriminator(nn.Module):
             ((3, 3), (1, 1)),
         ]
         for i, (k, s) in enumerate(specs):
+            # explicit torch-style symmetric padding: SAME would pad (3,4)
+            # on the stride-2 axis for even widths, shifting the sampling
+            # grid off the reference's (4,4) (discriminator.py:41-54)
+            pad = ((k[0] // 2, k[0] // 2), (k[1] // 2, k[1] // 2))
             y = nn.WeightNorm(
-                nn.Conv(32, k, strides=s, padding="SAME", name=f"conv_{i}")
+                nn.Conv(32, k, strides=s, padding=pad, name=f"conv_{i}")
             )(y)
             y = nn.leaky_relu(y, LRELU_SLOPE)
             fmap.append(y)
-        y = nn.WeightNorm(nn.Conv(1, (3, 3), padding="SAME", name="out"))(y)
+        y = nn.WeightNorm(
+            nn.Conv(1, (3, 3), padding=((1, 1), (1, 1)), name="out")
+        )(y)
         fmap.append(y)
         return y.reshape(y.shape[0], -1), fmap
 
@@ -94,7 +100,8 @@ class PeriodDiscriminator(nn.Module):
                 )
             )(y)
             y = nn.leaky_relu(y, LRELU_SLOPE)
-            fmap.append(y)
+            if i > 0:  # reference skips the first conv's feature map
+                fmap.append(y)
         y = nn.WeightNorm(
             nn.Conv(1024, (self.kernel_size, 1), padding="SAME", name="conv_4")
         )(y)

@@ -61,6 +61,7 @@ def build_models(model_config: ModelConfig) -> Dict[str, nn.Module]:
         ),
         "pe_mel_style_encoder": MelStyleEncoder(
             style_dim=mc.style_dim,
+            dim_in=mc.n_mels,  # reference models.py:58-63 passes n_mels
             max_conv_dim=mc.mel_style_encoder.max_channels,
             skip_last_downsample=mc.mel_style_encoder.skip_downsample,
         ),

@@ -80,8 +80,11 @@ class _ResBlk2d(nn.Module):
         h = nn.leaky_relu(x, 0.2)
         h = SpectralConv(dim_in, (3, 3), name="conv1")(h, update_stats=update_stats)
         if self.downsample:
+            # explicit (1,1) padding: torch pads symmetrically before the
+            # stride-2 conv, while flax SAME would pad (0,1) — off by one
             h = SpectralConv(
-                dim_in, (3, 3), strides=(2, 2), groups=dim_in, name="downconv"
+                dim_in, (3, 3), strides=(2, 2), groups=dim_in,
+                padding=[(1, 1), (1, 1)], name="downconv"
             )(h, update_stats=update_stats)
         h = nn.leaky_relu(h, 0.2)
         h = SpectralConv(self.dim_out, (3, 3), name="conv2")(h, update_stats=update_stats)

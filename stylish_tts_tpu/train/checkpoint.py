@@ -113,15 +113,20 @@ def save_model_safetensors(path: str | Path, params: Any) -> None:
     save_file(flat, str(path))
 
 
-def load_model_safetensors(path: str | Path, template: Any) -> Any:
-    from safetensors.numpy import load_file
-
-    flat = load_file(str(path))
+def fill_from_flat(flat: dict, template: Any) -> Any:
+    """Rebuild a params PyTree from a flat {"a/b/c": array} mapping using
+    ``template`` for structure (and shape checks)."""
     leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(template)
     new_leaves = []
     for keypath, leaf in leaves_with_path:
         name = "/".join(
             getattr(p, "key", getattr(p, "idx", "?")).__str__() for p in keypath
         )
-        new_leaves.append(flat[name].reshape(np.shape(leaf)))
+        new_leaves.append(np.asarray(flat[name]).reshape(np.shape(leaf)))
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def load_model_safetensors(path: str | Path, template: Any) -> Any:
+    from safetensors.numpy import load_file
+
+    return fill_from_flat(load_file(str(path)), template)

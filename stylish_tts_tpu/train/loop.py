@@ -171,6 +171,7 @@ def train_model(
     out_dir: str,
     stage_name: str = "acoustic",
     checkpoint: Optional[str] = None,
+    init_torch: Optional[str] = None,
     max_steps: Optional[int] = None,
 ) -> Manifest:
     """Multi-stage training with auto-advance.  Returns the final manifest."""
@@ -194,6 +195,29 @@ def train_model(
     variables = init_model_variables(ctx.models, model_config, rng)
     state = build_train_state(variables, model_config)
     slm_params = init_slm_params(jax.random.PRNGKey(7), model_config)
+
+    if init_torch:
+        # migrate weights from a reference (torch) accelerator checkpoint:
+        # params only; optimizers/schedules/priors start fresh
+        from ..export.import_torch import load_reference_state_dicts
+        from ..models.torch_convert import CONVERTERS, convert_module
+        from .checkpoint import fill_from_flat
+
+        state_dicts = load_reference_state_dicts(init_torch)
+        params = dict(state.params)
+        batch_stats = dict(state.batch_stats)
+        for name, sd in state_dicts.items():
+            if name not in CONVERTERS or name not in params:
+                logger.info("init-torch: skipping %s (no converter)", name)
+                continue
+            flat_params, flat_stats = convert_module(name, sd)
+            params[name] = fill_from_flat(flat_params, params[name])
+            if flat_stats:
+                batch_stats[name] = fill_from_flat(
+                    flat_stats, batch_stats[name]
+                )
+            logger.info("init-torch: imported %s", name)
+        state = state.replace(params=params, batch_stats=batch_stats)
 
     if checkpoint:
         state, ctx.manifest, ctx.normalization, _ = load_checkpoint(

@@ -1,0 +1,72 @@
+"""Import helper for the torch reference package at /root/reference.
+
+Stubs the reference's heavyweight / CUDA-era dependencies (munch, pynvml,
+torchaudio, k2) so its model modules import standalone on CPU.  Used only
+by the torch-parity tests; the framework itself never imports torch.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+REF_SRC = "/root/reference/src"
+
+
+def install_reference():
+    """Idempotently stub deps and put the reference package on sys.path."""
+    if REF_SRC in sys.path:
+        return
+    munch = types.ModuleType("munch")
+
+    class Munch(dict):
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError:
+                raise AttributeError(k)
+
+        def __setattr__(self, k, v):
+            self[k] = v
+
+    munch.Munch = Munch
+    sys.modules.setdefault("munch", munch)
+
+    pynvml = types.ModuleType("pynvml")
+    pynvml.nvmlInit = lambda *a, **k: None
+    pynvml.nvmlDeviceGetHandleByIndex = lambda *a, **k: None
+    pynvml.nvmlDeviceGetMemoryInfo = lambda *a, **k: None
+    sys.modules.setdefault("pynvml", pynvml)
+
+    ta = types.ModuleType("torchaudio")
+    ta.transforms = types.ModuleType("torchaudio.transforms")
+    ta.functional = types.ModuleType("torchaudio.functional")
+    ta.models = types.ModuleType("torchaudio.models")
+
+    class _Placeholder:
+        def __init__(self, *a, **k):
+            pass
+
+    for name in (
+        "MelScale", "MelSpectrogram", "Resample", "Spectrogram",
+        "InverseMelScale", "AmplitudeToDB",
+    ):
+        setattr(ta.transforms, name, _Placeholder)
+    ta.models.Conformer = _Placeholder
+    for mod in (ta, ta.transforms, ta.functional, ta.models):
+        sys.modules.setdefault(mod.__name__, mod)
+
+    sys.modules.setdefault("k2", types.ModuleType("k2"))
+    sys.path.insert(0, REF_SRC)
+
+
+def reference_model_config():
+    """The reference's packaged default model.yml as a pydantic config."""
+    install_reference()
+    import importlib.resources
+
+    from stylish_tts.lib.config_loader import load_model_config_yaml
+
+    p = importlib.resources.files("stylish_tts.train") / "config" / "model.yml"
+    with open(str(p)) as f:
+        return load_model_config_yaml(f)
