@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ModelConfig
-from ..duration import DurationProcessor, duration_to_alignment_np
+from ..duration import DurationProcessor
 from ..models import build_models
 from ..text import TextCleaner
 
@@ -45,7 +45,12 @@ class Synthesizer:
     ):
         self.mc = model_config
         self.models = build_models(model_config)
-        self.params = params
+        # pin params to the default device ONCE: init builds them on the
+        # CPU backend (train/init.py), and jit does not relocate committed
+        # arrays — without this every call re-uploads the full ~120 MB
+        # param set through the device transport (measured 6 s/call on the
+        # tunneled TPU, completely dominating synthesis)
+        self.params = jax.device_put(params, jax.devices()[0])
         self.text_cleaner = TextCleaner(model_config.symbol)
         self.duration_processor = DurationProcessor(
             model_config.duration_predictor.duration_classes,
@@ -59,8 +64,14 @@ class Synthesizer:
                 {"params": params["duration_predictor"]}, tokens, lengths
             )
 
-        @jax.jit
-        def speech_graph(params, tokens, lengths, alignment, rng):
+        @partial(jax.jit, static_argnums=(4,))
+        def speech_graph(params, tokens, lengths, durations, frames, rng):
+            # the alignment is built on device from the [B, T] duration
+            # vector — uploading the dense [B, T, frames] one-hot per call
+            # costs ~frames× more transfer over the host link
+            alignment = self.duration_processor.batched_duration_to_alignment(
+                durations, frames
+            )
             pe_enc, _, _ = self.models["pe_text_encoder"].apply(
                 {"params": params["pe_text_encoder"]}, tokens, lengths
             )
@@ -76,7 +87,11 @@ class Synthesizer:
                 tokens, lengths, alignment, pitch, energy, None,
                 rngs={"sample": rng},
             )
-            return pred.audio
+            # ship PCM16 off-device: audio is tanh-bounded, WAV-standard
+            # 16-bit halves the device->host transfer per call
+            return jnp.clip(
+                pred.audio * 32767.0, -32768.0, 32767.0
+            ).astype(jnp.int16)
 
         self._duration_graph = duration_graph
         self._speech_graph = speech_graph
@@ -123,25 +138,30 @@ class Synthesizer:
         total_frames = int(durs.sum())
         # round to an even mel-frame bucket (generator upsamples ×4)
         frames = frame_bucket(total_frames)
-        align = np.zeros((1, tokens.shape[1], frames), np.float32)
-        align[0, :n] = duration_to_alignment_np(durs.astype(np.int64), frames)
+        dur_vec = np.zeros((1, tokens.shape[1]), np.int32)
+        dur_vec[0, :n] = durs
         self.rng, sample_rng = jax.random.split(self.rng)
         audio = self._speech_graph(
-            self.params, tokens, lengths, jnp.asarray(align), sample_rng
+            self.params, tokens, lengths, jnp.asarray(dur_vec), frames,
+            sample_rng,
         )
         samples = total_frames * self.mc.hop_length
-        return np.asarray(audio[0, :samples])
+        return (
+            np.asarray(audio[0, :samples]).astype(np.float32) / 32767.0
+        )
 
-    def synthesize_batch(
+    def synthesize_batch_async(
         self,
         phoneme_list: List[str],
         speed: float = 1.0,
         fixed_duration: Optional[int] = None,
-    ) -> List[np.ndarray]:
-        """Batched bucketed synthesis: all utterances padded to one
-        (text-bucket, frame-bucket) pair and decoded in a single jitted
-        call — the production serving path (BASELINE 'batched bucketed
-        synthesis' config)."""
+    ):
+        """Dispatch one batched synthesis call without blocking.
+
+        Returns (device_audio [B, samples] int16 PCM, totals frame counts);
+        jax dispatch is asynchronous, so the caller can queue the next
+        batch while this one computes and fetch results behind the device
+        (the pipelined serving loop — see measure_rtf/bench.py)."""
         b = len(phoneme_list)
         encoded = [
             [0] + self.text_cleaner(p) + [0] for p in phoneme_list
@@ -164,25 +184,39 @@ class Synthesizer:
             )
         totals = []
         frames = 60
-        for i, ids in enumerate(encoded):
-            d = np.maximum(1, np.round(durs[i, : len(ids)] / speed))
-            totals.append(int(d.sum()))
-            frames = max(frames, frame_bucket(int(d.sum())))
-        align = np.zeros((b, bucket, frames), np.float32)
+        dur_vec = np.zeros((b, bucket), np.int32)
         for i, ids in enumerate(encoded):
             d = np.maximum(1, np.round(durs[i, : len(ids)] / speed)).astype(
-                np.int64
+                np.int32
             )
-            align[i, : len(ids)] = duration_to_alignment_np(d, frames)
+            dur_vec[i, : len(ids)] = d
+            totals.append(int(d.sum()))
+            frames = max(frames, frame_bucket(int(d.sum())))
         self.rng, sample_rng = jax.random.split(self.rng)
-        audio = np.asarray(
-            self._speech_graph(
-                self.params, tokens_j, lengths_j, jnp.asarray(align),
-                sample_rng,
-            )
+        audio = self._speech_graph(
+            self.params, tokens_j, lengths_j, jnp.asarray(dur_vec),
+            frames, sample_rng,
         )
+        return audio, totals
+
+    def synthesize_batch(
+        self,
+        phoneme_list: List[str],
+        speed: float = 1.0,
+        fixed_duration: Optional[int] = None,
+    ) -> List[np.ndarray]:
+        """Batched bucketed synthesis: all utterances padded to one
+        (text-bucket, frame-bucket) pair and decoded in a single jitted
+        call — the production serving path (BASELINE 'batched bucketed
+        synthesis' config)."""
+        audio_dev, totals = self.synthesize_batch_async(
+            phoneme_list, speed=speed, fixed_duration=fixed_duration
+        )
+        audio = np.asarray(audio_dev)
         return [
-            audio[i, : totals[i] * self.mc.hop_length] for i in range(b)
+            audio[i, : totals[i] * self.mc.hop_length].astype(np.float32)
+            / 32767.0
+            for i in range(len(phoneme_list))
         ]
 
     def synthesize_longform(

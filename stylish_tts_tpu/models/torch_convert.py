@@ -136,6 +136,24 @@ def _ffn(sd: Dict[str, np.ndarray], prefix: str) -> Flat:
 # module converters
 # ---------------------------------------------------------------------------
 
+def _transformer_encoder(sd: Dict[str, np.ndarray], prefix: str) -> Flat:
+    """Reference Encoder stack (text_encoder.py:332-393): per layer MHA +
+    conv-FFN + two channel LayerNorms."""
+    out: Flat = {}
+    n_layers = max(
+        int(k[len(prefix):].split(".")[1]) + 1
+        for k in sd
+        if k.startswith(prefix + "attn_layers.")
+    )
+    for i in range(n_layers):
+        out.update(_prefixed(f"attn_{i}", _mha(sd, f"{prefix}attn_layers.{i}.")))
+        out.update(_prefixed(f"ffn_{i}", _ffn(sd, f"{prefix}ffn_layers.{i}.")))
+        for tn, fn in (("norm_layers_1", "norm1"), ("norm_layers_2", "norm2")):
+            out[f"{fn}_{i}/gamma"] = _np(sd[f"{prefix}{tn}.{i}.gamma"])
+            out[f"{fn}_{i}/beta"] = _np(sd[f"{prefix}{tn}.{i}.beta"])
+    return out
+
+
 def convert_text_encoder(sd: Dict[str, np.ndarray]) -> Flat:
     """Reference TextEncoder (text_encoder.py:396-462) -> flax TextEncoder."""
     sd = fold_weight_norm(sd)
@@ -152,23 +170,26 @@ def convert_text_encoder(sd: Dict[str, np.ndarray]) -> Flat:
         out[f"prenet/norm_{i}/beta"] = _np(sd[f"prenet.norm_layers.{i}.beta"])
     out["prenet/proj/kernel"] = conv1d_k(sd["prenet.proj.weight"])
     out["prenet/proj/bias"] = _np(sd["prenet.proj.bias"])
-    n_layers = max(
-        int(k.split(".")[2]) + 1 for k in sd if k.startswith("encoder.attn_layers.")
-    )
-    for i in range(n_layers):
-        out.update(
-            _prefixed(
-                f"encoder/attn_{i}", _mha(sd, f"encoder.attn_layers.{i}.")
-            )
-        )
-        out.update(
-            _prefixed(f"encoder/ffn_{i}", _ffn(sd, f"encoder.ffn_layers.{i}."))
-        )
-        for tn, fn in (("norm_layers_1", "norm1"), ("norm_layers_2", "norm2")):
-            out[f"encoder/{fn}_{i}/gamma"] = _np(sd[f"encoder.{tn}.{i}.gamma"])
-            out[f"encoder/{fn}_{i}/beta"] = _np(sd[f"encoder.{tn}.{i}.beta"])
+    out.update(_prefixed("encoder", _transformer_encoder(sd, "encoder.")))
     out["proj_m/kernel"] = conv1d_k(sd["proj_m.weight"])
     out["proj_m/bias"] = _np(sd["proj_m.bias"])
+    return out
+
+
+def convert_hubert_encoder(sd: Dict[str, np.ndarray]) -> Flat:
+    """Reference HubertEncoder (hubert_encoder.py:7-47)."""
+    sd = fold_weight_norm(sd)
+    out: Flat = {
+        "phone_emb/kernel": conv1d_k(sd["phone_emb.weight"]),
+        "phone_emb/bias": _np(sd["phone_emb.bias"]),
+    }
+    out.update(_prefixed("encoder", _transformer_encoder(sd, "encoder.")))
+    if "cond_proj.weight" in sd:
+        out["cond_proj/kernel"] = linear_k(sd["cond_proj.weight"])
+        out["cond_proj/bias"] = _np(sd["cond_proj.bias"])
+    if "final_proj.weight" in sd:
+        out["final_proj/kernel"] = conv1d_k(sd["final_proj.weight"])
+        out["final_proj/bias"] = _np(sd["final_proj.bias"])
     return out
 
 
@@ -541,6 +562,66 @@ def convert_text_aligner(sd: Dict[str, np.ndarray]) -> Tuple[Flat, Flat]:
     return params, stats
 
 
+def convert_hubert_speech_predictor(sd: Dict[str, np.ndarray]) -> Flat:
+    """Reference HubertSpeechPredictor (speech_predictor.py:132-251):
+    SpeechPredictor with a HubertEncoder front end and an MLP style head
+    over the speaker embedding."""
+    sd = fold_weight_norm(sd)
+    out: Flat = {}
+    out.update(
+        _prefixed(
+            "phone_encoder", convert_hubert_encoder(_sub(sd, "phone_encoder."))
+        )
+    )
+    for j, idx in enumerate((0, 3, 6)):
+        out[f"style{j + 1}/kernel"] = linear_k(sd[f"style_encoder.{idx}.weight"])
+        out[f"style{j + 1}/bias"] = _np(sd[f"style_encoder.{idx}.bias"])
+    out.update(_prefixed("decoder", convert_decoder(_sub(sd, "decoder."))))
+    out.update(_prefixed("flow", convert_flow(_sub(sd, "flow."))))
+    out.update(
+        _prefixed(
+            "posterior_encoder",
+            convert_posterior_encoder(_sub(sd, "posterior_encoder.")),
+        )
+    )
+    for head in ("proj_mean", "proj_logstd"):
+        out[f"prior_encoder/{head}/kernel"] = linear_k(
+            sd[f"prior_encoder.{head}.weight"]
+        )
+        out[f"prior_encoder/{head}/bias"] = _np(sd[f"prior_encoder.{head}.bias"])
+    out["post_flow/kernel"] = linear_k(sd["post_flow.weight"])
+    out["post_flow/bias"] = _np(sd["post_flow.bias"])
+    out.update(_prefixed("generator", convert_generator(_sub(sd, "generator."))))
+    return out
+
+
+def convert_hubert_pitch_energy_predictor(sd: Dict[str, np.ndarray]) -> Flat:
+    """Reference HubertPitchEnergyPredictor
+    (pitch_energy_predictor.py:124-191)."""
+    sd = fold_weight_norm(sd)
+    out: Flat = {
+        "phone_quant/kernel": conv1d_k(sd["phone_quant.weight"]),
+        "phone_quant/bias": _np(sd["phone_quant.bias"]),
+        "style_encoder/kernel": linear_k(sd["style_encoder.weight"]),
+        "style_encoder/bias": _np(sd["style_encoder.bias"]),
+    }
+    out.update(
+        _prefixed(
+            "prosody_encoder", convert_prosody_encoder(_sub(sd, "prosody_encoder."))
+        )
+    )
+    for tname, fname in (("F0", "f0_block"), ("N", "energy_block")):
+        for i in range(3):
+            out.update(
+                _prefixed(f"{fname}_{i}", _adain_res_block(sd, f"{tname}.{i}."))
+            )
+    out["f0_proj/kernel"] = conv1d_k(sd["F0_proj.weight"])
+    out["f0_proj/bias"] = _np(sd["F0_proj.bias"])
+    out["energy_proj/kernel"] = conv1d_k(sd["N_proj.weight"])
+    out["energy_proj/bias"] = _np(sd["N_proj.bias"])
+    return out
+
+
 # ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
@@ -555,6 +636,9 @@ CONVERTERS = {
     "pitch_energy_predictor": convert_pitch_energy_predictor,
     "speech_predictor": convert_speech_predictor,
     "pe_text_encoder": convert_text_encoder,
+    "hubert_encoder": convert_hubert_encoder,
+    "hubert_speech_predictor": convert_hubert_speech_predictor,
+    "hubert_pitch_energy_predictor": convert_hubert_pitch_energy_predictor,
     "pe_text_style_encoder": convert_text_style_encoder,
     "pe_mel_style_encoder": convert_mel_style_encoder,
 }

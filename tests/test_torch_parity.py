@@ -381,6 +381,141 @@ def test_speech_predictor_parity(zoo, monkeypatch):
             )
 
 
+def test_hubert_encoder_parity(zoo):
+    ref_models, models, mc = zoo
+    rng = np.random.default_rng(9)
+    phones = rng.standard_normal((B, F, mc.hubert.hidden_dim)).astype(np.float32)
+    lengths = np.array([F, F - 6])
+    phones[1, F - 6:] = 0.0
+    with torch.no_grad():
+        y_t = ref_models["hubert_encoder"](
+            torch.tensor(phones).transpose(1, 2), torch.tensor(lengths)
+        )
+    variables = _load(
+        models, mc, "hubert_encoder", ref_models["hubert_encoder"].state_dict()
+    )
+    y_j = models["hubert_encoder"].apply(
+        variables, jnp.asarray(phones), jnp.asarray(lengths)
+    )
+    for b, n in enumerate(lengths):
+        np.testing.assert_allclose(
+            np.asarray(y_j)[b, :n], y_t.numpy().transpose(0, 2, 1)[b, :n],
+            atol=5e-4,
+        )
+
+
+def test_hubert_pitch_energy_predictor_parity(zoo):
+    ref_models, models, mc = zoo
+    rng = np.random.default_rng(10)
+    phones = rng.standard_normal((B, F, mc.hubert.hidden_dim)).astype(np.float32)
+    lengths = np.array([F, F])
+    spk = rng.standard_normal((B, mc.speaker_embedder.hidden_dim)).astype(
+        np.float32
+    )
+    ref = ref_models["hubert_pitch_energy_predictor"]
+    with torch.no_grad():
+        f0_t, n_t = ref(
+            torch.tensor(phones).transpose(1, 2),
+            torch.tensor(lengths),
+            torch.tensor(spk),
+        )
+    variables = _load(
+        models, mc, "hubert_pitch_energy_predictor", ref.state_dict()
+    )
+    f0_j, n_j = models["hubert_pitch_energy_predictor"].apply(
+        variables, jnp.asarray(phones), jnp.asarray(lengths), jnp.asarray(spk)
+    )
+    np.testing.assert_allclose(np.asarray(f0_j), f0_t.numpy(), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(n_j), n_t.numpy(), atol=1e-3)
+
+
+def test_hubert_speech_predictor_parity(zoo, monkeypatch):
+    """Same stochastic-path pinning as test_speech_predictor_parity, with
+    SSL phone features + speaker embedding replacing text + style."""
+    ref_models, models, mc = zoo
+    ref = ref_models["hubert_speech_predictor"]
+    torch.manual_seed(11)
+    with torch.no_grad():
+        for p in ref.parameters():
+            if float(p.abs().sum()) == 0.0:
+                p.add_(0.02 * torch.randn_like(p))
+
+    rng = np.random.default_rng(11)
+    frames = 20
+    phones = rng.standard_normal((B, frames, mc.hubert.hidden_dim)).astype(
+        np.float32
+    )
+    lengths = np.array([frames, frames])
+    spk = rng.standard_normal((B, mc.speaker_embedder.hidden_dim)).astype(
+        np.float32
+    )
+    pitch = (100.0 + 80.0 * rng.random((B, frames))).astype(np.float32)
+    energy = rng.random((B, frames)).astype(np.float32)
+
+    import stylish_tts_tpu.models.generator as my_gen_mod
+    import stylish_tts_tpu.models.flow as my_flow_mod
+    from stylish_tts_tpu.ops.stft import stft as stft_fn
+
+    variables = _load(models, mc, "hubert_speech_predictor", ref.state_dict())
+
+    monkeypatch.setattr(torch, "randn_like", lambda t: torch.zeros_like(t))
+    wave = (
+        0.1 * np.random.default_rng(12).standard_normal(
+            (B, frames * mc.hop_length)
+        )
+    ).astype(np.float32)
+    real, imag = stft_fn(
+        jnp.asarray(wave), n_fft=mc.n_fft, hop_length=mc.hop_length // 4,
+        win_length=mc.win_length,
+    )
+    real, imag = np.asarray(real), np.asarray(imag)
+    mag = np.abs(real + 1j * imag) + 1e-9
+    cos, sin = real / mag, imag / mag
+
+    def t(arr):
+        return torch.tensor(arr.transpose(0, 2, 1))
+
+    ref.generator.prior_generator = (
+        lambda f0, voiced, *a, **k: torch.tensor(wave).unsqueeze(1)
+    )
+    ref.generator.stft.transform = lambda x: (t(mag), t(cos), t(sin))
+    monkeypatch.setattr(
+        my_gen_mod, "generate_pcph",
+        lambda f0, voiced, rng_key, **kw: jnp.asarray(wave),
+    )
+    monkeypatch.setattr(
+        my_gen_mod.STFTHead, "transform",
+        lambda self, x: (jnp.asarray(mag), jnp.asarray(cos), jnp.asarray(sin)),
+    )
+
+    with torch.no_grad():
+        pred_t = ref(
+            torch.tensor(phones).transpose(1, 2),
+            torch.tensor(lengths),
+            torch.tensor(spk),
+            torch.tensor(pitch),
+            torch.tensor(energy),
+        )
+    pred_j = models["hubert_speech_predictor"].apply(
+        variables,
+        jnp.asarray(phones),
+        jnp.asarray(lengths),
+        jnp.asarray(spk),
+        jnp.asarray(pitch),
+        jnp.asarray(energy),
+        sample=False,
+        rngs={"sample": jax.random.PRNGKey(0)},
+    )
+    np.testing.assert_allclose(
+        np.asarray(pred_j.magnitude),
+        pred_t.magnitude.numpy().transpose(0, 2, 1),
+        atol=2e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pred_j.audio), pred_t.audio.numpy()[:, 0], atol=2e-3
+    )
+
+
 def test_mrd_parity(zoo):
     """Spec discriminators: weight-normed 2D convs with torch-style
     explicit padding (even-width stride-2 parity)."""
