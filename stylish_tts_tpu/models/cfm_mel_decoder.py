@@ -19,22 +19,27 @@ from .xut import TBackbone, TimestepEmbedding, XUTBackbone, AdaLNModulation, mis
 
 
 class SineGenerator(nn.Module):
-    """F0 curve [B, T] -> sine fundamental [B, T, 1] with noise in
-    unvoiced regions (cfm_mel_decoder's m_source capability)."""
+    """F0 curve [B, T] -> learned-merge sine source [B, T, 1]
+    (cfm_mel_decoder.py:16-102): no-grad sine + UV-gated noise, then a
+    bias-free 1->1 Linear and tanh WITH grad."""
 
     sample_rate: int = 24000
     sine_amp: float = 0.1
     noise_std: float = 0.003
+    voiced_threshold: float = 0.0
 
     @nn.compact
     def __call__(self, f0: jax.Array) -> jax.Array:
         rng = self.make_rng("sample")
-        rad = jnp.cumsum(f0 / self.sample_rate, axis=1)
+        rad = jnp.cumsum((f0 / self.sample_rate) % 1.0, axis=1)
         sine = self.sine_amp * jnp.sin(2.0 * jnp.pi * rad)
-        voiced = f0 > 10.0
-        noise = self.noise_std * jax.random.normal(rng, f0.shape)
-        return jnp.where(voiced, sine + noise, noise / self.noise_std
-                         * self.sine_amp / 3.0)[..., None]
+        uv = (f0 > self.voiced_threshold).astype(f0.dtype)
+        noise_amp = uv * self.noise_std + (1.0 - uv) * self.sine_amp / 3.0
+        noise = noise_amp * jax.random.normal(rng, f0.shape)
+        source = jax.lax.stop_gradient(sine * uv + noise)[..., None]
+        return jnp.tanh(
+            nn.Dense(1, use_bias=False, name="merge")(source)
+        )
 
 
 class CfmMelDecoder(nn.Module):

@@ -622,6 +622,132 @@ def convert_hubert_pitch_energy_predictor(sd: Dict[str, np.ndarray]) -> Flat:
     return out
 
 
+def _style_convnext(sd: Dict[str, np.ndarray], tpfx: str) -> Flat:
+    """Style-conditioned ConvNeXt block (generator.py:441-499)."""
+    out: Flat = {
+        "dwconv/Conv_0/kernel": conv1d_k(sd[f"{tpfx}dwconv.weight"]),
+        "dwconv/Conv_0/bias": _np(sd[f"{tpfx}dwconv.bias"]),
+        "pwconv1/kernel": linear_k(sd[f"{tpfx}pwconv1.weight"]),
+        "pwconv1/bias": _np(sd[f"{tpfx}pwconv1.bias"]),
+        "GRN_0/gamma": _np(sd[f"{tpfx}grn.gamma"]),
+        "GRN_0/beta": _np(sd[f"{tpfx}grn.beta"]),
+        "pwconv2/kernel": linear_k(sd[f"{tpfx}pwconv2.weight"]),
+        "pwconv2/bias": _np(sd[f"{tpfx}pwconv2.bias"]),
+    }
+    out.update(_prefixed("AdaptiveLayerNorm_0", _adaln(sd, f"{tpfx}norm.")))
+    return out
+
+
+def convert_cfm_pitch_predictor(sd: Dict[str, np.ndarray]) -> Tuple[Flat, Flat]:
+    """Reference CfmPitchPredictor (cfm/cfm_pitch_predictor.py:12-53):
+    conv embeds + MelStyleEncoder speaker branch + 4 style-ConvNeXt
+    blocks.  The unused ``in_proj`` is dropped."""
+    out: Flat = {
+        "asr_emb1/kernel": conv1d_k(sd["asr_emb.0.weight"]),
+        "asr_emb1/bias": _np(sd["asr_emb.0.bias"]),
+        "asr_emb2/kernel": conv1d_k(sd["asr_emb.2.weight"]),
+        "asr_emb2/bias": _np(sd["asr_emb.2.bias"]),
+        "out_proj/kernel": conv1d_k(sd["out_proj.weight"]),
+        "out_proj/bias": _np(sd["out_proj.bias"]),
+    }
+    spk_params, spk_stats = convert_mel_style_encoder(_sub(sd, "spk_emb."))
+    out.update(_prefixed("spk_emb", spk_params))
+    for i in range(4):
+        out.update(_prefixed(f"block_{i}", _style_convnext(sd, f"blocks.{i}.")))
+    return out, _prefixed("spk_emb", spk_stats)
+
+
+def _xut_block(sd: Dict[str, np.ndarray], tpfx: str) -> Flat:
+    """One XUT TransformerBlock (xut/transformer.py:9-81) with fused qkv,
+    learnable axial-RoPE freqs, packed SwiGLU and RMSNorm pre-norms."""
+    out: Flat = {
+        "attn/qkv/kernel": linear_k(sd[f"{tpfx}attn.qkv.weight"]),
+        "attn/out/kernel": linear_k(sd[f"{tpfx}attn.out.weight"]),
+        "attn/out/bias": _np(sd[f"{tpfx}attn.out.bias"]),
+        "attn/rope/freqs": _np(sd[f"{tpfx}attn.rope.freqs"]),
+        "mlp/w12/kernel": linear_k(sd[f"{tpfx}mlp.w12.weight"]),
+        "mlp/w12/bias": _np(sd[f"{tpfx}mlp.w12.bias"]),
+        "mlp/w3/kernel": linear_k(sd[f"{tpfx}mlp.w3.weight"]),
+        "mlp/w3/bias": _np(sd[f"{tpfx}mlp.w3.bias"]),
+        "attn_pre_norm/norm/scale": _np(sd[f"{tpfx}attn_pre_norm.norm.weight"]),
+        "mlp_pre_norm/norm/scale": _np(sd[f"{tpfx}mlp_pre_norm.norm.weight"]),
+    }
+    if f"{tpfx}xattn.q.weight" in sd:
+        out["xattn/q/kernel"] = linear_k(sd[f"{tpfx}xattn.q.weight"])
+        out["xattn/kv/kernel"] = linear_k(sd[f"{tpfx}xattn.kv.weight"])
+        out["xattn/out/kernel"] = linear_k(sd[f"{tpfx}xattn.out.weight"])
+        out["xattn/out/bias"] = _np(sd[f"{tpfx}xattn.out.bias"])
+        out["xattn/rope/freqs"] = _np(sd[f"{tpfx}xattn.rope.freqs"])
+        out["xattn_pre_norm/norm/scale"] = _np(
+            sd[f"{tpfx}xattn_pre_norm.norm.weight"]
+        )
+    return out
+
+
+def _shared_adaln(sd: Dict[str, np.ndarray], tpfx: str) -> Flat:
+    """Shared AdaLN head Sequential (LayerNorm, Linear, Mish, Linear)."""
+    return {
+        "ln/scale": _np(sd[f"{tpfx}0.weight"]),
+        "ln/bias": _np(sd[f"{tpfx}0.bias"]),
+        "fc1/kernel": linear_k(sd[f"{tpfx}1.weight"]),
+        "fc1/bias": _np(sd[f"{tpfx}1.bias"]),
+        "fc2/kernel": linear_k(sd[f"{tpfx}3.weight"]),
+        "fc2/bias": _np(sd[f"{tpfx}3.bias"]),
+    }
+
+
+def convert_cfm_mel_decoder(sd: Dict[str, np.ndarray]) -> Flat:
+    """Reference CfmMelDecoder (cfm/cfm_mel_decoder.py:193-418): XUT
+    backbone + TREAD routers + sine source + shared AdaLN heads.  The
+    ``time_emb.freqs`` entry is a deterministic buffer (time_emb.py)
+    reproduced in closed form on our side."""
+    out: Flat = {
+        "time_emb/proj/kernel": linear_k(sd["time_emb.proj.0.weight"]),
+        "time_emb/proj/bias": _np(sd["time_emb.proj.0.bias"]),
+        "asr_emb1/kernel": linear_k(sd["asr_emb.1.weight"]),
+        "asr_emb1/bias": _np(sd["asr_emb.1.bias"]),
+        "asr_emb2/kernel": linear_k(sd["asr_emb.3.weight"]),
+        "asr_emb2/bias": _np(sd["asr_emb.3.bias"]),
+        "spk_emb1/kernel": linear_k(sd["spk_emb.0.weight"]),
+        "spk_emb1/bias": _np(sd["spk_emb.0.bias"]),
+        "spk_emb2/kernel": linear_k(sd["spk_emb.2.weight"]),
+        "spk_emb2/bias": _np(sd["spk_emb.2.bias"]),
+        "m_source/merge/kernel": linear_k(sd["m_source.1.merge.0.weight"]),
+        "prior_generator/kernel": conv1d_k(sd["prior_generator.1.weight"]),
+        "prior_generator/bias": _np(sd["prior_generator.1.bias"]),
+        "in_proj/kernel": linear_k(sd["in_proj.weight"]),
+        "in_proj/bias": _np(sd["in_proj.bias"]),
+        "out_proj/kernel": linear_k(sd["out_proj.0.weight"]),
+        "out_proj/bias": _np(sd["out_proj.0.bias"]),
+    }
+    for tn, fn in (
+        ("shared_adaln_attn.", "shared_attn"),
+        ("shared_adaln_xattn.", "shared_xattn"),
+        ("shared_adaln_ffw.", "shared_ffw"),
+    ):
+        out.update(_prefixed(fn, _shared_adaln(sd, tn)))
+    depth = max(
+        int(k.split(".")[2]) + 1 for k in sd if k.startswith("backbone.enc_blocks.")
+    )
+    for d in range(depth):
+        for i in (0, 1, 2, 3):
+            tp = f"backbone.enc_blocks.{d}.{i}."
+            if f"{tp}attn.qkv.weight" in sd:
+                out.update(_prefixed(f"backbone/enc_{d}_{i}", _xut_block(sd, tp)))
+            tp = f"backbone.dec_blocks.{d}.{i}."
+            if f"{tp}attn.qkv.weight" in sd:
+                out.update(_prefixed(f"backbone/dec_{d}_{i}", _xut_block(sd, tp)))
+    for tn, fn in (
+        ("prev_tread_trns.blocks.", "prev_tread/block_"),
+        ("post_tread_trns.blocks.", "post_tread/block_"),
+    ):
+        i = 0
+        while f"{tn}{i}.attn.qkv.weight" in sd:
+            out.update(_prefixed(f"{fn}{i}", _xut_block(sd, f"{tn}{i}.")))
+            i += 1
+    return out
+
+
 # ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
@@ -637,6 +763,8 @@ CONVERTERS = {
     "speech_predictor": convert_speech_predictor,
     "pe_text_encoder": convert_text_encoder,
     "hubert_encoder": convert_hubert_encoder,
+    "cfm_mel_decoder": convert_cfm_mel_decoder,
+    "cfm_pitch_predictor": convert_cfm_pitch_predictor,
     "hubert_speech_predictor": convert_hubert_speech_predictor,
     "hubert_pitch_energy_predictor": convert_hubert_pitch_energy_predictor,
     "pe_text_style_encoder": convert_text_style_encoder,

@@ -1,28 +1,30 @@
 """XUT: cross-U-transformer backbone for the CFM mel decoder.
 
-Parity target: train/models/xut/ (xut.py, transformer.py, attention.py,
-axial_rope.py, adaln.py, norm.py, layers.py, time_emb.py, ~900 LoC) — a
-U-shaped transformer whose encoder blocks stash activations and whose
-decoder blocks cross-attend to them, with axial RoPE over a continuous
-position map, AdaLN modulation (optionally shared across layers from the
-timestep embedding), RMSNorm and SwiGLU FFNs.
+Architecture-exact port of train/models/xut/ (xut.py, transformer.py,
+attention.py, axial_rope.py, adaln.py, norm.py, layers.py, time_emb.py):
+a U-shaped transformer whose encoder blocks stash activations and whose
+decoder levels cross-attend (first block per level only) to the FINAL
+encoder output (xut/xut.py:196-215 uses self_ctx[-1] at every level),
+with learnable per-head axial RoPE over a continuous position map,
+AdaLN modulation in (scale, shift, gate+1) order shared across layers
+from the timestep embedding, RMSNorm (eps 1e-6) and packed SwiGLU FFNs.
 
-TPU re-design: one flax module, channels-last, attention as two MXU
-matmuls; the 1-D positional map drives a continuous rotary embedding.
+TPU notes: channels-last, attention as two MXU matmuls; all shapes static.
 """
 
 from __future__ import annotations
 
+import math
 from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .cfm import sinusoidal_pos_emb
-
 
 class RMSNorm(nn.Module):
+    """RMSNorm with learned scale (xut/norm.py RMSNormTorch, eps=1e-6)."""
+
     eps: float = 1e-6
 
     @nn.compact
@@ -32,80 +34,148 @@ class RMSNorm(nn.Module):
         return x * jax.lax.rsqrt(var + self.eps) * scale
 
 
-def continuous_rope(x: jax.Array, pos: jax.Array) -> jax.Array:
-    """Rotary embedding driven by a continuous position map.
-
-    x: [B, H, T, D]; pos: [B, T, 1] in [-1, 1] (axial_rope capability)."""
-    d = x.shape[-1]
-    half = d // 2
-    freqs = jnp.pi * jnp.exp(
-        jnp.linspace(0.0, jnp.log(half), half)
-    )  # log-spaced frequencies
-    angles = pos[:, None, :, 0:1] * freqs[None, None, None, :]  # [B,1,T,half]
-    cos, sin = jnp.cos(angles), jnp.sin(angles)
-    x1, x2 = x[..., :half], x[..., half: 2 * half]
-    rotated = jnp.concatenate(
-        [x1 * cos - x2 * sin, x1 * sin + x2 * cos, x[..., 2 * half:]], -1
-    )
-    return rotated
-
-
 def mish(x: jax.Array) -> jax.Array:
     return x * jnp.tanh(jax.nn.softplus(x))
 
 
+class AxialRoPE(nn.Module):
+    """Learnable log-frequency rotary embedding over a continuous position
+    map (xut/axial_rope.py:114-142).  x: [B, H, T, D]; pos: [B, T, pos_dim].
+
+    Init matches freqs_pixel_log for pos_dim=1: linspace over the last
+    axis of size 1 leaves every log-frequency at log(π)."""
+
+    head_dim: int
+    n_heads: int
+    pos_dim: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, pos: jax.Array) -> jax.Array:
+        half = self.head_dim // (2 * self.pos_dim)
+        log_min = math.log(math.pi)
+        log_max = math.log(10.0 * math.pi / 2)
+        init = jnp.broadcast_to(
+            jnp.linspace(log_min, log_max, self.pos_dim),
+            (self.n_heads, half, self.pos_dim),
+        )
+        freqs = self.param("freqs", lambda key: init)
+        # [B, T, H, half, pos_dim] -> [B, T, H, rot] -> pairs repeated
+        f = pos[:, :, None, None, :] * jnp.exp(freqs)[None, None]
+        b, t = pos.shape[0], pos.shape[1]
+        f = f.reshape(b, t, self.n_heads, half * self.pos_dim)
+        f = jnp.repeat(f, 2, axis=-1)          # [B, T, H, rot*2]
+        f = f.transpose(0, 2, 1, 3)            # [B, H, T, rot*2]
+        rot_dim = f.shape[-1]
+        t_rot, t_right = x[..., :rot_dim], x[..., rot_dim:]
+        x1, x2 = t_rot[..., 0::2], t_rot[..., 1::2]
+        rot_half = jnp.stack([-x2, x1], axis=-1).reshape(t_rot.shape)
+        t_rot = t_rot * jnp.cos(f) + rot_half * jnp.sin(f)
+        return jnp.concatenate([t_rot, t_right], axis=-1)
+
+
 class AdaLNModulation(nn.Module):
-    """timestep embedding -> (shift, scale, gate) (xut/adaln.py:10-28)."""
+    """Shared modulation head: t_emb -> (scale, shift, gate) raw chunks
+    (cfm_mel_decoder.py build_shared_adaln: LayerNorm -> Linear 4x ->
+    Mish -> zero-init Linear 3x)."""
 
     dim: int
 
     @nn.compact
     def __call__(self, t_emb: jax.Array):
-        h = nn.LayerNorm()(t_emb)
-        h = nn.Dense(self.dim * 4)(h)
+        h = nn.LayerNorm(name="ln")(t_emb)
+        h = nn.Dense(self.dim * 4, name="fc1")(h)
         h = mish(h)
         h = nn.Dense(
             self.dim * 3,
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
+            name="fc2",
         )(h)
-        shift, scale, gate = jnp.split(h, 3, axis=-1)
-        return shift[:, None], scale[:, None], gate[:, None]
+        scale, shift, gate = jnp.split(h, 3, axis=-1)
+        return scale[:, None], shift[:, None], gate[:, None]
 
 
-def _modulate(x, mod):
-    shift, scale, _ = mod
-    return x * (1.0 + scale) + shift
+class AdaLN(nn.Module):
+    """Pre-norm + modulation: returns (normed*(scale+1)+shift, gate+1)
+    (xut/adaln.py:9-28)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x, t_emb=None, shared=None):
+        normed = RMSNorm(name="norm")(x)
+        if shared is None:
+            h = nn.Dense(
+                self.dim * 3,
+                kernel_init=nn.initializers.zeros,
+                bias_init=nn.initializers.zeros,
+                name="adaln",
+            )(t_emb)
+            scale, shift, gate = jnp.split(h, 3, axis=-1)
+            scale, shift, gate = scale[:, None], shift[:, None], gate[:, None]
+        else:
+            scale, shift, gate = shared
+        return normed * (scale + 1.0) + shift, gate + 1.0
 
 
-class _Attention(nn.Module):
+class _SelfAttention(nn.Module):
+    """Fused-qkv self attention with axial RoPE (xut/attention.py:12-71)."""
+
     dim: int
     heads: int
 
     @nn.compact
-    def __call__(self, x, context=None, pos=None, ctx_pos=None):
-        context = x if context is None else context
+    def __call__(self, x, pos=None):
         head_dim = self.dim // self.heads
         b, t, _ = x.shape
-        s = context.shape[1]
+        qkv = nn.Dense(self.dim * 3, use_bias=False, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        def split(h, length):
-            return h.reshape(b, length, self.heads, head_dim).transpose(
-                0, 2, 1, 3
-            )
+        def split(h):
+            return h.reshape(b, t, self.heads, head_dim).transpose(0, 2, 1, 3)
 
-        q = split(nn.Dense(self.dim, name="q")(x), t)
-        k = split(nn.Dense(self.dim, name="k")(context), s)
-        v = split(nn.Dense(self.dim, name="v")(context), s)
+        q, k, v = split(q), split(k), split(v)
         if pos is not None:
-            q = continuous_rope(q, pos)
-        if ctx_pos is not None:
-            k = continuous_rope(k, ctx_pos)
-        elif pos is not None and context is x:
-            k = continuous_rope(k, pos)
+            rope = AxialRoPE(head_dim, self.heads, name="rope")
+            q = rope(q, pos)
+            k = rope(k, pos)
         scores = jnp.einsum(
             "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) / jnp.sqrt(jnp.asarray(head_dim, jnp.float32))
+        ) / math.sqrt(head_dim)
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum(
+            "bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, self.dim)
+        return nn.Dense(self.dim, name="out")(out)
+
+
+class _CrossAttention(nn.Module):
+    """q / fused-kv cross attention with axial RoPE on both sides
+    (xut/attention.py:74-135)."""
+
+    dim: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, x, ctx, pos=None, ctx_pos=None):
+        head_dim = self.dim // self.heads
+        b, t, _ = x.shape
+        s = ctx.shape[1]
+        q = nn.Dense(self.dim, use_bias=False, name="q")(x)
+        kv = nn.Dense(self.dim * 2, use_bias=False, name="kv")(ctx)
+        k, v = jnp.split(kv, 2, axis=-1)
+        q = q.reshape(b, t, self.heads, head_dim).transpose(0, 2, 1, 3)
+        k = k.reshape(b, s, self.heads, head_dim).transpose(0, 2, 1, 3)
+        v = v.reshape(b, s, self.heads, head_dim).transpose(0, 2, 1, 3)
+        rope = AxialRoPE(head_dim, self.heads, name="rope")
+        if pos is not None:
+            q = rope(q, pos)
+        if ctx_pos is not None:
+            k = rope(k, ctx_pos)
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) / math.sqrt(head_dim)
         probs = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum(
             "bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32
@@ -115,19 +185,21 @@ class _Attention(nn.Module):
 
 
 class _SwiGLU(nn.Module):
+    """Packed SwiGLU (xut/layers.py): w12 -> chunk -> silu(x1)*x2 -> w3."""
+
     dim: int
     mlp_dim: int
 
     @nn.compact
     def __call__(self, x):
-        gate = nn.Dense(self.mlp_dim, name="gate")(x)
-        up = nn.Dense(self.mlp_dim, name="up")(x)
-        return nn.Dense(self.dim, name="down")(nn.silu(gate) * up)
+        h = nn.Dense(self.mlp_dim * 2, name="w12")(x)
+        x1, x2 = jnp.split(h, 2, axis=-1)
+        return nn.Dense(self.dim, name="w3")(nn.silu(x1) * x2)
 
 
 class XUTBlock(nn.Module):
-    """One transformer block: self-attn (+ optional cross-attn to skips)
-    + SwiGLU, each AdaLN-modulated and gated."""
+    """One transformer block (xut/transformer.py:9-81): AdaLN-pre-normed
+    self-attn (+ optional cross-attn) + SwiGLU, each gated by (gate+1)."""
 
     dim: int
     heads: int
@@ -137,31 +209,35 @@ class XUTBlock(nn.Module):
     @nn.compact
     def __call__(self, x, pos, t_emb, skip=None, skip_pos=None,
                  shared_adaln=None):
-        if shared_adaln is not None:
-            mod_attn, mod_xattn, mod_ffw = shared_adaln
-        else:
-            mod_attn = AdaLNModulation(self.dim, name="adaln_attn")(t_emb)
-            mod_xattn = AdaLNModulation(self.dim, name="adaln_xattn")(t_emb)
-            mod_ffw = AdaLNModulation(self.dim, name="adaln_ffw")(t_emb)
-
-        h = _modulate(RMSNorm(name="norm1")(x), mod_attn)
-        x = x + mod_attn[2] * _Attention(
-            self.dim, self.heads, name="attn"
-        )(h, pos=pos)
+        sh_attn, sh_xattn, sh_ffw = (
+            shared_adaln if shared_adaln is not None else (None, None, None)
+        )
+        # NOTE the reference REBINDS x to the pre-normed/modulated tensor
+        # before each residual add (transformer.py:66-80: `x, gate =
+        # self.attn_pre_norm(x, *y); x = x + self.attn(x, ...) * gate`),
+        # so the residual stream is re-normalised at every sub-layer.
+        x, gate = AdaLN(self.dim, name="attn_pre_norm")(
+            x, t_emb, shared=sh_attn
+        )
+        x = x + _SelfAttention(self.dim, self.heads, name="attn")(
+            x, pos=pos
+        ) * gate
         if self.cross and skip is not None:
-            h = _modulate(RMSNorm(name="norm_x")(x), mod_xattn)
-            x = x + mod_xattn[2] * _Attention(
-                self.dim, self.heads, name="xattn"
-            )(h, context=skip, pos=pos, ctx_pos=skip_pos)
-        h = _modulate(RMSNorm(name="norm2")(x), mod_ffw)
-        x = x + mod_ffw[2] * _SwiGLU(self.dim, self.mlp_dim, name="ffw")(h)
+            x, gate = AdaLN(self.dim, name="xattn_pre_norm")(
+                x, t_emb, shared=sh_xattn
+            )
+            x = x + _CrossAttention(self.dim, self.heads, name="xattn")(
+                x, skip, pos=pos, ctx_pos=skip_pos
+            ) * gate
+        x, gate = AdaLN(self.dim, name="mlp_pre_norm")(x, t_emb, shared=sh_ffw)
+        x = x + _SwiGLU(self.dim, self.mlp_dim, name="mlp")(x) * gate
         return x
 
 
 class XUTBackbone(nn.Module):
-    """U-shape: enc_blocks stash activations per depth level; dec_blocks
-    cross-attend to the stashed activations in reverse order
-    (xut/xut.py:89-219)."""
+    """U-shape (xut/xut.py:89-219): depth levels of enc blocks, then depth
+    levels of dec blocks whose FIRST block cross-attends to the final
+    encoder output (the reference reads self_ctx[-1] at every level)."""
 
     dim: int
     heads: int
@@ -172,27 +248,25 @@ class XUTBackbone(nn.Module):
 
     @nn.compact
     def __call__(self, x, pos, t_emb, shared_adaln=None):
-        skips: List[jax.Array] = []
         for d in range(self.depth):
             for i in range(self.enc_blocks):
                 x = XUTBlock(
                     self.dim, self.heads, self.mlp_dim,
                     name=f"enc_{d}_{i}",
                 )(x, pos, t_emb, shared_adaln=shared_adaln)
-            skips.append(x)
+        enc_out = x
         for d in range(self.depth):
-            skip = skips[self.depth - 1 - d]
             for i in range(self.dec_blocks):
                 x = XUTBlock(
-                    self.dim, self.heads, self.mlp_dim, cross=True,
+                    self.dim, self.heads, self.mlp_dim, cross=(i == 0),
                     name=f"dec_{d}_{i}",
-                )(x, pos, t_emb, skip=skip, skip_pos=pos,
-                  shared_adaln=shared_adaln)
-        return RMSNorm(name="norm_out")(x)
+                )(x, pos, t_emb, skip=enc_out if i == 0 else None,
+                  skip_pos=pos, shared_adaln=shared_adaln)
+        return x
 
 
 class TBackbone(nn.Module):
-    """Plain transformer stack (used by the TREAD pre/post routers)."""
+    """Plain transformer stack (TBackBone; the TREAD pre/post routers)."""
 
     dim: int
     heads: int
@@ -209,11 +283,20 @@ class TBackbone(nn.Module):
 
 
 class TimestepEmbedding(nn.Module):
+    """t [B] -> [B, dim] (xut/time_emb.py): fixed exp-spaced frequency
+    buffer, t scaled by 1000, cos||sin, one Linear + Mish."""
+
     dim: int
+    max_period: float = 10000.0
+    time_factor: float = 1000.0
 
     @nn.compact
     def __call__(self, t: jax.Array) -> jax.Array:
-        emb = sinusoidal_pos_emb(t, self.dim)
-        emb = nn.Dense(self.dim * 4)(emb)
-        emb = nn.silu(emb)
-        return nn.Dense(self.dim)(emb)
+        half = self.dim // 2
+        freqs = jnp.exp(
+            -math.log(self.max_period)
+            * jnp.arange(half, dtype=jnp.float32) / half
+        )
+        args = self.time_factor * t[:, None] * freqs[None]
+        emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+        return mish(nn.Dense(self.dim, name="proj")(emb))

@@ -516,6 +516,80 @@ def test_hubert_speech_predictor_parity(zoo, monkeypatch):
     )
 
 
+def test_cfm_pitch_predictor_parity(zoo):
+    ref_models, models, mc = zoo
+    rng = np.random.default_rng(13)
+    frames = 64
+    asr = rng.standard_normal((B, frames, mc.hubert.hidden_dim)).astype(
+        np.float32
+    )
+    mel = rng.standard_normal((B, frames, mc.n_mels)).astype(np.float32)
+    ref = ref_models["cfm_pitch_predictor"]
+    ref.train()
+    with torch.no_grad():  # converge spectral-norm power iteration
+        for _ in range(100):
+            ref(torch.tensor(asr).transpose(1, 2), torch.tensor(mel).mT)
+    ref.eval()
+    with torch.no_grad():
+        f0_t = ref(torch.tensor(asr).transpose(1, 2), torch.tensor(mel).mT)
+    variables = _load(models, mc, "cfm_pitch_predictor", ref.state_dict())
+    f0_j = models["cfm_pitch_predictor"].apply(
+        variables, jnp.asarray(asr), jnp.asarray(mel)
+    )
+    np.testing.assert_allclose(
+        np.asarray(f0_j), f0_t.numpy()[:, 0], atol=5e-3
+    )
+
+
+def test_cfm_mel_decoder_parity(zoo, monkeypatch):
+    ref_models, models, mc = zoo
+    rng = np.random.default_rng(14)
+    frames = 48
+    x = rng.standard_normal((B, frames, mc.n_mels)).astype(np.float32)
+    asr = rng.standard_normal((B, frames, mc.hubert.hidden_dim)).astype(
+        np.float32
+    )
+    f0 = (100.0 + 50.0 * rng.random((B, frames))).astype(np.float32)
+    energy = rng.random((B, frames)).astype(np.float32)
+    spk = rng.standard_normal((B, mc.speaker_embedder.hidden_dim)).astype(
+        np.float32
+    )
+    t = rng.random((B,)).astype(np.float32)
+
+    ref = ref_models["cfm_mel_decoder"]
+    variables = _load(models, mc, "cfm_mel_decoder", ref.state_dict())
+
+    # pin the sine-source noise to zero on both sides
+    monkeypatch.setattr(torch, "randn_like", lambda v: torch.zeros_like(v))
+    monkeypatch.setattr(torch, "rand", lambda *a, **k: torch.zeros(*a, **k))
+    real_normal = jax.random.normal
+    monkeypatch.setattr(
+        jax.random, "normal",
+        lambda key, shape=(), dtype=jnp.float32: jnp.zeros(shape, dtype),
+    )
+    try:
+        with torch.no_grad():
+            y_t = ref._forward(
+                torch.tensor(x).mT,
+                torch.tensor(asr).transpose(1, 2),
+                torch.tensor(f0),
+                torch.tensor(energy),
+                torch.tensor(spk),
+                torch.tensor(t),
+            )
+        y_j = models["cfm_mel_decoder"].apply(
+            variables,
+            jnp.asarray(x), jnp.asarray(t), jnp.asarray(asr),
+            jnp.asarray(f0), jnp.asarray(energy), jnp.asarray(spk),
+            rngs={"sample": jax.random.PRNGKey(0)},
+        )
+    finally:
+        monkeypatch.setattr(jax.random, "normal", real_normal)
+    np.testing.assert_allclose(
+        np.asarray(y_j), y_t.numpy().transpose(0, 2, 1), atol=3e-3
+    )
+
+
 def test_mrd_parity(zoo):
     """Spec discriminators: weight-normed 2D convs with torch-style
     explicit padding (even-width stride-2 parity)."""
