@@ -83,6 +83,12 @@ def magphase_loss(
     real, imag = stft(
         audio_gt, n_fft=n_fft, hop_length=hop_length, win_length=win_length
     )
+    # heads may emit F frames vs the GT's F+1 (the ringformer iSTFT grid
+    # has no replicate-padded trailing frame); compare the common span
+    frames = min(pred_magnitude.shape[1], real.shape[1])
+    pred_magnitude = pred_magnitude[:, :frames]
+    pred_phase = pred_phase[:, :frames]
+    real, imag = real[:, :frames], imag[:, :frames]
     target_mag = jnp.sqrt(real * real + imag * imag + 1e-14) + 1e-14
     voiced = jax.lax.stop_gradient(target_mag > 1e-3)
     target_phase = jnp.where(voiced, jnp.arctan2(imag, real), 0.0)

@@ -43,10 +43,12 @@ class HubertSpeechPredictor(nn.Module):
         sample: bool = True,
     ) -> DecoderPrediction:
         mc = self.config
-        # x4 to generator frame rate, as the reference repeats phones x4
-        phones4 = jnp.repeat(phones, 4, axis=1)
+        # x4 to the freegan generator frame rate (reference repeats phones
+        # x4); the ringformer head upsamples itself and takes mel rate
+        use_x4 = mc.generator.type == "freegan"
+        phones4 = jnp.repeat(phones, 4, axis=1) if use_x4 else phones
         phones4 = HubertEncoder(mc, name="phone_encoder")(
-            phones4, phone_lengths * 4, train=train
+            phones4, phone_lengths * (4 if use_x4 else 1), train=train
         )
         s = nn.Dense(mc.style_dim * 4, name="style1")(spk_emb)
         s = mish(s)
@@ -56,8 +58,8 @@ class HubertSpeechPredictor(nn.Module):
         s = nn.Dropout(0.25, deterministic=not train)(s)
         style = nn.Dense(mc.style_dim, name="style3")(s)
 
-        pitch4 = upsample_x4_linear(pitch)
-        energy4 = upsample_x4_linear(energy)
+        pitch4 = upsample_x4_linear(pitch) if use_x4 else pitch
+        energy4 = upsample_x4_linear(energy) if use_x4 else energy
         x = Decoder(
             hidden_dim=mc.decoder.hidden_dim,
             residual_dim=mc.decoder.residual_dim,
@@ -79,7 +81,8 @@ class HubertSpeechPredictor(nn.Module):
         if audio_gt is not None:
             z_mel, mean_mel, logstd_mel = PosteriorEncoder(
                 flow_dim, flow_dim, n_fft=mc.n_fft,
-                win_length=mc.win_length, hop_length=mc.hop_length // 4,
+                win_length=mc.win_length,
+                hop_length=mc.hop_length // 4 if use_x4 else mc.hop_length,
                 n_layers=12, cond_channels=mc.style_dim,
                 name="posterior_encoder",
             )(audio_gt, cond=style, sample=sample, train=train)
@@ -91,9 +94,16 @@ class HubertSpeechPredictor(nn.Module):
         else:
             mel = nn.Dense(mc.decoder.hidden_dim, name="post_flow")(z_text2mel)
 
-        prediction = Generator(mc, name="generator")(
-            mel, style, pitch4, energy4, train=train
-        )
+        if mc.generator.type == "freegan":
+            prediction = Generator(mc, name="generator")(
+                mel, style, pitch4, energy4, train=train
+            )
+        else:
+            from .ringformer import UpsampleGenerator
+
+            prediction = UpsampleGenerator(mc, name="generator")(
+                mel, style, pitch4, energy4, train=train
+            )
         if audio_gt is not None:
             prediction.text_stats = (z_text, mean_text, logstd_text)
             prediction.text2mel_stats = (

@@ -112,11 +112,15 @@ class UpsampleGenerator(nn.Module):
                 dim=x.shape[-1], depth=gc.depth, name=f"conformer_{i}",
             )(x, style, train=train)
             out_ch = channels // (2 ** (i + 1))
+            # SAME gives out = in*rate exactly, matching the torch
+            # HiFiGAN ConvTranspose1d(p=(k-u)//2) length; flax's explicit
+            # [(lo,hi)] transpose padding follows a different formula and
+            # silently shortens the signal
             x = nn.ConvTranspose(
                 out_ch,
                 (kernel,),
                 strides=(rate,),
-                padding=[((kernel - rate) // 2, (kernel - rate + 1) // 2)],
+                padding="SAME",
                 name=f"up_{i}",
             )(x)
             # harmonic source injection at this scale
@@ -161,6 +165,11 @@ class UpsampleGenerator(nn.Module):
         x = nn.Conv(n_fft + 2, (7,), padding="SAME", name="conv_post")(x)
         logamp = x[..., : n_fft // 2 + 1]
         phase = x[..., n_fft // 2 + 1:]
+        # replicate-pad one trailing frame (freegan convention,
+        # generator.py:425-426): the F+1-frame iSTFT yields exactly
+        # F*hop samples, keeping audio aligned with the mel grid
+        logamp = jnp.concatenate([logamp, logamp[:, -1:]], axis=1)
+        phase = jnp.concatenate([phase, phase[:, -1:]], axis=1)
         audio = stft_head.inverse(
             jnp.exp(logamp), jnp.cos(phase), jnp.sin(phase)
         )

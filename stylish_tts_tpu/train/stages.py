@@ -97,6 +97,24 @@ class StageContext:
         )
         return out
 
+    def apply_auto(self, key, params, batch_stats, *args, rngs=None,
+                   **kwargs):
+        """apply with automatic batch_stats threading: models whose config
+        variant carries batch stats (e.g. the ringformer generator's
+        conformer BatchNorm inside speech_predictor) get their collection
+        passed and updated.  Returns (out, new_stats_or_None)."""
+        has_stats = bool(batch_stats) and key in batch_stats
+        if not has_stats:
+            return (
+                self.apply(key, params, None, *args, rngs=rngs, **kwargs),
+                None,
+            )
+        out, upd = self.apply(
+            key, params, batch_stats, *args, rngs=rngs, mutable=True,
+            **kwargs,
+        )
+        return out, upd["batch_stats"]
+
     # NOTE: rematerialising the speech_predictor forward (jax.checkpoint
     # around the whole module) was measured and REJECTED: XLA's buffer
     # assignment grew temp memory 11.5 -> 14.3 GiB at batch 8 (the
@@ -104,6 +122,20 @@ class StageContext:
     # so the extra recompute bought nothing.  The targeted remats that do
     # pay are the GAN discriminator pass and the pred-side SLM forward
     # (below / make_train_step).
+
+    def magphase_params(self):
+        """STFT params of the generator head's native resolution: the
+        magphase loss must compare at the resolution the head emits
+        (freegan: n_fft @ hop/4; ringformer: its own iSTFT grid — the
+        reference hard-codes the freegan case, train_context.py:133-141)."""
+        mc = self.model_config
+        gc = mc.generator
+        if gc.type == "freegan":
+            return dict(n_fft=mc.n_fft, hop_length=mc.hop_length // 4,
+                        win_length=mc.win_length)
+        return dict(n_fft=gc.gen_istft_n_fft,
+                    hop_length=gc.gen_istft_hop_size,
+                    win_length=gc.gen_istft_n_fft)
 
     def mel_and_energy(self, audio_gt):
         mel, mel_length = calculate_mel(
@@ -179,12 +211,14 @@ def _acoustic_losses(ctx: StageContext, params, batch_stats, batch, rngs,
                      state: TrainState):
     mel, _, energy = ctx.mel_and_energy(batch["audio_gt"])
     new_stats = {}
-    pred = ctx.apply(
-        "speech_predictor", params, None,
+    pred, sp_stats = ctx.apply_auto(
+        "speech_predictor", params, batch_stats,
         batch["text"], batch["text_length"], batch["alignment"],
         batch["pitch"], energy, batch["audio_gt"],
         rngs=rngs, train=True,
     )
+    if sp_stats is not None:
+        new_stats["speech_predictor"] = sp_stats
     pe_enc, _, _ = ctx.apply(
         "pe_text_encoder", params, None,
         batch["text"], batch["text_length"], rngs=rngs, train=True,
@@ -207,8 +241,7 @@ def _acoustic_losses(ctx: StageContext, params, batch_stats, batch, rngs,
     mc = ctx.model_config
     mag_l, phase_l = L.magphase_loss(
         pred.magnitude, pred.phase, batch["audio_gt"],
-        n_fft=mc.n_fft, hop_length=mc.hop_length // 4,
-        win_length=mc.win_length,
+        **ctx.magphase_params(),
     )
     metrics = {
         "mel": L.multi_resolution_stft_loss(t_mag, p_mag),
@@ -239,7 +272,7 @@ def _textual_losses(ctx, params, batch_stats, batch, rngs, state):
         rngs=rngs, train=True,
     )
     pred = ctx.apply(
-        "speech_predictor", params, None,
+        "speech_predictor", params, batch_stats,
         batch["text"], batch["text_length"], batch["alignment"],
         pred_pitch, pred_energy, None,
         rngs=rngs, train=False,
@@ -250,8 +283,7 @@ def _textual_losses(ctx, params, batch_stats, batch, rngs, state):
     mc = ctx.model_config
     mag_l, phase_l = L.magphase_loss(
         pred.magnitude, pred.phase, batch["audio_gt"],
-        n_fft=mc.n_fft, hop_length=mc.hop_length // 4,
-        win_length=mc.win_length,
+        **ctx.magphase_params(),
     )
     metrics = {
         "mel": L.multi_resolution_stft_loss(t_mag, p_mag),
@@ -347,20 +379,21 @@ def _joint_losses(ctx, params, batch_stats, batch, rngs, state):
         pe_enc, batch["text_length"], batch["alignment"], pe_text_style,
         rngs=rngs, train=True,
     )
-    pred = ctx.apply(
-        "speech_predictor", params, None,
+    pred, sp_stats = ctx.apply_auto(
+        "speech_predictor", params, batch_stats,
         batch["text"], batch["text_length"], batch["alignment"],
         pred_pitch, pred_energy, batch["audio_gt"],
         rngs=rngs, train=True,
     )
+    if sp_stats is not None:
+        new_stats["speech_predictor"] = sp_stats
     t_mag, p_mag, _, _, t_fft, p_fft = ctx.multi_spectrogram(
         target=batch["audio_gt"], pred=pred.audio
     )
     mc = ctx.model_config
     mag_l, phase_l = L.magphase_loss(
         pred.magnitude, pred.phase, batch["audio_gt"],
-        n_fft=mc.n_fft, hop_length=mc.hop_length // 4,
-        win_length=mc.win_length,
+        **ctx.magphase_params(),
     )
     metrics = {
         "mel": L.multi_resolution_stft_loss(t_mag, p_mag),
@@ -389,11 +422,14 @@ def denorm_f0_zscore(normed, unvoiced, mean, std, min_hz=50.0, max_hz=1200.0):
 def _hubert_acoustic_losses(ctx, params, batch_stats, batch, rngs, state):
     mel, mel_length, energy = ctx.mel_and_energy(batch["audio_gt"])
     phones, spk_emb = ctx.ssl_features(batch["audio_gt"], mel.shape[1])
-    pred = ctx.apply(
-        "hubert_speech_predictor", params, None,
+    new_stats = {}
+    pred, sp_stats = ctx.apply_auto(
+        "hubert_speech_predictor", params, batch_stats,
         phones, mel_length, spk_emb, batch["pitch"][:, : mel.shape[1]],
         energy, batch["audio_gt"], rngs=rngs, train=True,
     )
+    if sp_stats is not None:
+        new_stats["hubert_speech_predictor"] = sp_stats
     pred_pitch, pred_energy = ctx.apply(
         "hubert_pitch_energy_predictor", params, None,
         phones, mel_length, spk_emb, rngs=rngs, train=True,
@@ -404,8 +440,7 @@ def _hubert_acoustic_losses(ctx, params, batch_stats, batch, rngs, state):
     mc = ctx.model_config
     mag_l, phase_l = L.magphase_loss(
         pred.magnitude, pred.phase, batch["audio_gt"],
-        n_fft=mc.n_fft, hop_length=mc.hop_length // 4,
-        win_length=mc.win_length,
+        **ctx.magphase_params(),
     )
     metrics = {
         "mel": L.multi_resolution_stft_loss(t_mag, p_mag),
@@ -418,7 +453,7 @@ def _hubert_acoustic_losses(ctx, params, batch_stats, batch, rngs, state):
         "energy": L.smooth_l1_loss(pred_energy, energy),
     }
     metrics.update(L.normalizing_flow_losses(pred))
-    return metrics, (t_fft, p_fft), {}
+    return metrics, (t_fft, p_fft), new_stats
 
 
 def _cfm_mel_losses(ctx, params, batch_stats, batch, rngs, state):
@@ -778,7 +813,7 @@ def make_eval_step(stage_name: str, ctx: StageContext):
             else:
                 use_pitch, use_energy = pred_pitch, pred_energy
             pred = ctx.apply(
-                "speech_predictor", params, None,
+                "speech_predictor", params, state.batch_stats,
                 batch["text"], batch["text_length"], batch["alignment"],
                 use_pitch, use_energy, None, rngs={"sample": rng},
             )
