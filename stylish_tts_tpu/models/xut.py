@@ -15,7 +15,7 @@ TPU notes: channels-last, attention as two MXU matmuls; all shapes static.
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Tuple
+
 
 import jax
 import jax.numpy as jnp
