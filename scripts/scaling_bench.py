@@ -54,13 +54,17 @@ def main() -> None:
     models = build_models(mc)
     rng = jax.random.PRNGKey(0)
     variables = init_model_variables(models, mc, rng)
-    state0 = build_train_state(variables, mc)
+    # keep the template host-side: replicate() may alias device buffers,
+    # and the donated step would delete them out from under the next mesh
+    state0 = jax.device_get(build_train_state(variables, mc))
     ctx = StageContext(
         models=models, model_config=mc, config=cfg,
         mel_mean=-4.0, mel_std=4.0, step_limit=1000,
         duration_class_weight=jnp.ones((16,)),
     )
-    frozen0 = {"slm": init_slm_params(jax.random.PRNGKey(7), mc)}
+    frozen0 = jax.device_get(
+        {"slm": init_slm_params(jax.random.PRNGKey(7), mc), "ssl": None}
+    )
 
     devices = jax.devices()
     results = {}
