@@ -37,6 +37,7 @@ from .checkpoint import (
     save_checkpoint,
     save_model_safetensors,
 )
+from .torch_seed import seed_state_from_torch
 from .init import (
     build_train_state,
     init_model_variables,
@@ -197,27 +198,7 @@ def train_model(
     slm_params = init_slm_params(jax.random.PRNGKey(7), model_config)
 
     if init_torch:
-        # migrate weights from a reference (torch) accelerator checkpoint:
-        # params only; optimizers/schedules/priors start fresh
-        from ..export.import_torch import load_reference_state_dicts
-        from ..models.torch_convert import CONVERTERS, convert_module
-        from .checkpoint import fill_from_flat
-
-        state_dicts = load_reference_state_dicts(init_torch)
-        params = dict(state.params)
-        batch_stats = dict(state.batch_stats)
-        for name, sd in state_dicts.items():
-            if name not in CONVERTERS or name not in params:
-                logger.info("init-torch: skipping %s (no converter)", name)
-                continue
-            flat_params, flat_stats = convert_module(name, sd)
-            params[name] = fill_from_flat(flat_params, params[name])
-            if flat_stats:
-                batch_stats[name] = fill_from_flat(
-                    flat_stats, batch_stats[name]
-                )
-            logger.info("init-torch: imported %s", name)
-        state = state.replace(params=params, batch_stats=batch_stats)
+        state = seed_state_from_torch(state, init_torch)
 
     if checkpoint:
         state, ctx.manifest, ctx.normalization, _ = load_checkpoint(

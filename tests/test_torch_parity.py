@@ -695,6 +695,46 @@ def test_import_torch_checkpoint(zoo, tmp_path):
     assert np.isfinite(audio).all()
 
 
+def test_seed_state_from_torch(zoo, tmp_path):
+    """train --init-torch seeding: converted params land in the
+    TrainState; models without files stay at their random init."""
+    from stylish_tts_tpu.train.init import build_train_state
+    from stylish_tts_tpu.train.torch_seed import seed_state_from_torch
+
+    ref_models, models, mc = zoo
+    ckpt = tmp_path / "ref_ckpt"
+    ckpt.mkdir()
+    torch.save(ref_models["text_aligner"].state_dict(),
+               ckpt / "pytorch_model.bin")
+    torch.save(ref_models["mrd"].state_dict(), ckpt / "pytorch_model_4.bin")
+
+    variables = init_model_variables(
+        models, mc, jax.random.PRNGKey(0), keys=["text_aligner", "mrd"]
+    )
+    state = build_train_state(variables, mc)
+    before = np.asarray(
+        jax.tree_util.tree_leaves(state.params["mrd"])[0]
+    ).copy()
+    seeded = seed_state_from_torch(state, ckpt)
+
+    ref_out = ref_models["text_aligner"].state_dict()[
+        "encoder_output_layer.weight"
+    ].numpy()
+    np.testing.assert_allclose(
+        np.asarray(seeded.params["text_aligner"]["out"]["kernel"]),
+        ref_out.T, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(seeded.batch_stats["text_aligner"]["bn_1"]["var"]),
+        ref_models["text_aligner"].state_dict()[
+            "encoder.layers.1.2.running_var"
+        ].numpy(),
+        atol=1e-6,
+    )
+    after = np.asarray(jax.tree_util.tree_leaves(seeded.params["mrd"])[0])
+    assert not np.allclose(before, after)  # mrd weights were replaced
+
+
 def test_pe_mel_style_encoder_parity(zoo):
     ref_models, models, mc = zoo
     rng = np.random.default_rng(4)
