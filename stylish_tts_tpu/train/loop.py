@@ -316,10 +316,15 @@ def train_model(
                     * batch["audio_gt"].shape[1]
                     / model_config.sample_rate
                 )
-                logs.append({k: float(v) for k, v in metrics.items()})
+                # keep metrics as device scalars: float()-ing here would
+                # block on the async step every iteration, serialising the
+                # host's collate/transfer work against device compute
+                logs.append(metrics)
                 step = ctx.manifest.current_total_step
                 if step % config.training.log_interval == 0:
-                    combined = combine_metrics(logs)
+                    combined = combine_metrics(
+                        [{k: float(v) for k, v in m.items()} for m in logs]
+                    )
                     logs = []
                     total = combined.pop("loss", 0.0)
                     logger.info(
