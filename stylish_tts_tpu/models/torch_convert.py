@@ -748,6 +748,130 @@ def convert_cfm_mel_decoder(sd: Dict[str, np.ndarray]) -> Flat:
     return out
 
 
+def _bn2d(sd: Dict[str, np.ndarray], tpfx: str, fpfx: str) -> Tuple[Flat, Flat]:
+    params = {
+        f"{fpfx}/scale": _np(sd[f"{tpfx}.weight"]),
+        f"{fpfx}/bias": _np(sd[f"{tpfx}.bias"]),
+    }
+    stats = {
+        f"{fpfx}/mean": _np(sd[f"{tpfx}.running_mean"]),
+        f"{fpfx}/var": _np(sd[f"{tpfx}.running_var"]),
+    }
+    return params, stats
+
+
+def _conv_block_res(sd: Dict[str, np.ndarray], tpfx: str) -> Tuple[Flat, Flat]:
+    """RMVPE ConvBlockRes (rmvpe/deepunet.py:6-42): Sequential indices
+    0/3 convs (bias-free), 1/4 BNs, optional 1x1 shortcut."""
+    params: Flat = {}
+    stats: Flat = {}
+    for j, idx in enumerate((0, 3)):
+        params[f"conv_{j}/kernel"] = conv2d_k(sd[f"{tpfx}conv.{idx}.weight"])
+        p, s = _bn2d(sd, f"{tpfx}conv.{idx + 1}", f"bn_{j}")
+        params.update(p)
+        stats.update(s)
+    if f"{tpfx}shortcut.weight" in sd:
+        params["shortcut/kernel"] = conv2d_k(sd[f"{tpfx}shortcut.weight"])
+        params["shortcut/bias"] = _np(sd[f"{tpfx}shortcut.bias"])
+    return params, stats
+
+
+def _gru_cell(sd: Dict[str, np.ndarray], sfx: str) -> Flat:
+    """torch nn.GRU direction -> flax GRUCell params.  torch gate order is
+    (reset, update, new) stacked in weight_ih/weight_hh; flax ir/iz have
+    the only input-side bias, so b_ih + b_hh fold there; hn keeps its own
+    bias (flax: n = tanh(in(x) + r*hn(h)))."""
+    w_ih = _np(sd[f"weight_ih_l0{sfx}"])
+    w_hh = _np(sd[f"weight_hh_l0{sfx}"])
+    b_ih = _np(sd[f"bias_ih_l0{sfx}"])
+    b_hh = _np(sd[f"bias_hh_l0{sfx}"])
+    h = w_hh.shape[1]
+    out: Flat = {}
+    for g, name in enumerate(("r", "z", "n")):
+        wi = w_ih[g * h:(g + 1) * h]
+        wh = w_hh[g * h:(g + 1) * h]
+        bi = b_ih[g * h:(g + 1) * h]
+        bh = b_hh[g * h:(g + 1) * h]
+        out[f"i{name}/kernel"] = linear_k(wi)
+        out[f"h{name}/kernel"] = linear_k(wh)
+        if name == "n":
+            out["in/bias"] = bi
+            out["hn/bias"] = bh
+        else:
+            out[f"i{name}/bias"] = bi + bh
+    return out
+
+
+def convert_rmvpe(sd: Dict[str, np.ndarray]) -> Tuple[Flat, Flat]:
+    """Reference RMVPE E2E0(4, 1, (2, 2)) (rmvpe/model.py, deepunet.py,
+    seq.py) -> dataprep.rmvpe.RMVPE params + batch_stats.  ConvTranspose
+    kernels flip spatially (torch transpose-conv vs lax.conv_transpose)."""
+    params: Flat = {}
+    stats: Flat = {}
+
+    def add(sub, fpfx):
+        p, s = sub
+        params.update(_prefixed(fpfx, p))
+        stats.update(_prefixed(fpfx, s))
+
+    add(_bn2d(sd, "unet.encoder.bn", "bn"), "in_bn")
+    # _bn2d emits under <fpfx>/bn; flatten the in_bn naming
+    for d in (params, stats):
+        for k in list(d):
+            if k.startswith("in_bn/bn/"):
+                d["in_bn/" + k[len("in_bn/bn/"):]] = d.pop(k)
+
+    n_enc = max(
+        int(k.split(".")[3]) + 1 for k in sd if k.startswith("unet.encoder.layers.")
+    )
+    for i in range(n_enc):
+        j = 0
+        while f"unet.encoder.layers.{i}.conv.{j}.conv.0.weight" in sd:
+            add(
+                _conv_block_res(sd, f"unet.encoder.layers.{i}.conv.{j}."),
+                f"enc_{i}/block_{j}",
+            )
+            j += 1
+    n_int = max(
+        int(k.split(".")[3]) + 1
+        for k in sd
+        if k.startswith("unet.intermediate.layers.")
+    )
+    for i in range(n_int):
+        j = 0
+        while f"unet.intermediate.layers.{i}.conv.{j}.conv.0.weight" in sd:
+            add(
+                _conv_block_res(sd, f"unet.intermediate.layers.{i}.conv.{j}."),
+                f"inter_{i}/block_{j}",
+            )
+            j += 1
+    n_dec = max(
+        int(k.split(".")[3]) + 1 for k in sd if k.startswith("unet.decoder.layers.")
+    )
+    for i in range(n_dec):
+        w = _np(sd[f"unet.decoder.layers.{i}.conv1.0.weight"])  # (in,out,kh,kw)
+        params[f"dec_{i}/up/kernel"] = np.ascontiguousarray(
+            np.flip(w, (2, 3)).transpose(2, 3, 0, 1)
+        )
+        add(_bn2d(sd, f"unet.decoder.layers.{i}.conv1.1", "bn"), f"dec_{i}")
+        j = 0
+        while f"unet.decoder.layers.{i}.conv2.{j}.conv.0.weight" in sd:
+            add(
+                _conv_block_res(sd, f"unet.decoder.layers.{i}.conv2.{j}."),
+                f"dec_{i}/block_{j}",
+            )
+            j += 1
+    params["cnn/kernel"] = conv2d_k(sd["cnn.weight"])
+    params["cnn/bias"] = _np(sd["cnn.bias"])
+    params.update(_prefixed("gru/fwd", _gru_cell(_sub(sd, "fc.0.gru."), "")))
+    params.update(
+        _prefixed("gru/bwd", _gru_cell(_sub(sd, "fc.0.gru."), "_reverse"))
+    )
+    params["head/kernel"] = linear_k(sd["fc.1.weight"])
+    params["head/bias"] = _np(sd["fc.1.bias"])
+    return params, stats
+
+
 # ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------

@@ -36,7 +36,8 @@ class TestRMVPEModel:
 
         from stylish_tts_tpu.dataprep.rmvpe import RMVPE
 
-        model = RMVPE(base_channels=4, gru_hidden=16)
+        model = RMVPE(en_out_channels=2, n_blocks=1, inter_layers=1,
+                      gru_hidden=16)
         mel = jnp.zeros((1, 32, 128))
         variables = model.init({"params": jax.random.PRNGKey(0)}, mel)
         out = model.apply(variables, mel)

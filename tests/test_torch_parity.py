@@ -590,6 +590,77 @@ def test_cfm_mel_decoder_parity(zoo, monkeypatch):
     )
 
 
+def test_rmvpe_parity():
+    """The published RMVPE pitch model (E2E0(4,1,(2,2))) converts into
+    dataprep.rmvpe.RMVPE: deep U-net with BN running stats, transposed
+    convs, BiGRU and head all match the torch forward in eval mode."""
+    install_reference()
+    from stylish_tts.train.dataprep.rmvpe.model import E2E0
+
+    from stylish_tts_tpu.dataprep.rmvpe import RMVPE
+    from stylish_tts_tpu.models.torch_convert import convert_rmvpe
+
+    torch.manual_seed(21)
+    ref = E2E0(4, 1, (2, 2))
+    # give BN non-trivial running stats
+    with torch.no_grad():
+        for k, v in ref.state_dict().items():
+            if k.endswith("running_mean"):
+                v.add_(0.1 * torch.randn_like(v))
+            elif k.endswith("running_var"):
+                v.mul_(torch.exp(0.1 * torch.randn_like(v)))
+    ref.eval()
+
+    rng = np.random.default_rng(21)
+    mel = rng.standard_normal((1, 32, 128)).astype(np.float32)
+    with torch.no_grad():
+        # reference forward takes [B, M, T] and transposes internally
+        y_t = ref(torch.tensor(mel).mT)
+
+    model = RMVPE()
+    variables = model.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(mel))
+    params_flat, stats_flat = convert_rmvpe(
+        {k: v.numpy() for k, v in ref.state_dict().items()}
+    )
+    variables = {
+        "params": fill_from_flat(params_flat, variables["params"]),
+        "batch_stats": fill_from_flat(stats_flat, variables["batch_stats"]),
+    }
+    y_j = model.apply(variables, jnp.asarray(mel))
+    np.testing.assert_allclose(np.asarray(y_j), y_t.numpy(), atol=5e-4)
+
+
+def test_rmvpe_convert_roundtrip(tmp_path):
+    """scripts/convert_rmvpe.py format loads into RMVPEInference and the
+    end-to-end audio->f0 path runs (random weights; values are junk)."""
+    install_reference()
+    from stylish_tts.train.dataprep.rmvpe.model import E2E0
+
+    from stylish_tts_tpu.dataprep.rmvpe import RMVPEInference
+    from stylish_tts_tpu.export.import_torch import BATCH_STATS_PREFIX
+    from stylish_tts_tpu.models.torch_convert import convert_rmvpe
+
+    torch.manual_seed(22)
+    ref = E2E0(4, 1, (2, 2))
+    params, stats = convert_rmvpe(
+        {k: v.numpy() for k, v in ref.state_dict().items()}
+    )
+    from safetensors.numpy import save_file
+
+    flat = dict(params)
+    for k, v in stats.items():
+        flat[BATCH_STATS_PREFIX + k] = np.atleast_1d(np.asarray(v))
+    path = tmp_path / "rmvpe.safetensors"
+    save_file(flat, str(path))
+
+    infer = RMVPEInference(str(path))
+    audio = (0.5 * np.sin(
+        2 * np.pi * 220.0 * np.arange(16000) / 16000.0
+    )).astype(np.float32)
+    f0 = infer(audio)
+    assert f0.shape[0] > 90 and np.isfinite(f0).all()
+
+
 def test_mrd_parity(zoo):
     """Spec discriminators: weight-normed 2D convs with torch-style
     explicit padding (even-width stride-2 parity)."""

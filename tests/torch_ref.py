@@ -57,6 +57,19 @@ def install_reference():
         sys.modules.setdefault(mod.__name__, mod)
 
     sys.modules.setdefault("k2", types.ModuleType("k2"))
+
+    librosa = types.ModuleType("librosa")
+    librosa.filters = types.ModuleType("librosa.filters")
+
+    def _mel(*a, **k):  # imported by rmvpe/spec.py; not used in tests
+        import numpy as _np
+
+        return _np.zeros((k.get("n_mels", 128), k.get("n_fft", 1024) // 2 + 1),
+                         _np.float32)
+
+    librosa.filters.mel = _mel
+    sys.modules.setdefault("librosa", librosa)
+    sys.modules.setdefault("librosa.filters", librosa.filters)
     sys.path.insert(0, REF_SRC)
 
 
