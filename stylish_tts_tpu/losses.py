@@ -59,13 +59,15 @@ def differential_phase_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
     weights = jnp.power(base, jnp.arange(freq_size))[None, None, :]
 
     loss = jnp.mean(_anti_wrapping(pred - target, weights))
-    # frequency difference: x[..., f+1] - x[..., f]; reference matmul keeps
-    # width F with the last column equal to -x[..., F-1]
-    pred_df = jnp.diff(pred, axis=-1, append=jnp.zeros_like(pred[..., :1]))
-    targ_df = jnp.diff(target, axis=-1, append=jnp.zeros_like(target[..., :1]))
+    # the reference's difference matrix (triu(1)-triu(2)-eye) computes
+    # x[j-1]-x[j] with a -x[0] boundary column — a PREPEND-style first
+    # difference, so column j pairs with weight w[j] (append-style would
+    # shift every interior term one weight index)
+    pred_df = jnp.diff(pred, axis=-1, prepend=jnp.zeros_like(pred[..., :1]))
+    targ_df = jnp.diff(target, axis=-1, prepend=jnp.zeros_like(target[..., :1]))
     loss += jnp.mean(_anti_wrapping(pred_df - targ_df, weights))
-    pred_dt = jnp.diff(pred, axis=1, append=jnp.zeros_like(pred[:, :1]))
-    targ_dt = jnp.diff(target, axis=1, append=jnp.zeros_like(target[:, :1]))
+    pred_dt = jnp.diff(pred, axis=1, prepend=jnp.zeros_like(pred[:, :1]))
+    targ_dt = jnp.diff(target, axis=1, prepend=jnp.zeros_like(target[:, :1]))
     loss += jnp.mean(_anti_wrapping(pred_dt - targ_dt, weights))
     return loss
 
@@ -104,17 +106,21 @@ def magphase_loss(
 
 
 def kl_loss(z_p, logs_q, m_p, logs_p) -> jax.Array:
+    """Inputs channels-last [B, T, H].  The reference normalises by the
+    [B, 1, T] mask sum (losses.py:157-178): mean over batch/time but SUM
+    over channels — keep that scale, it feeds the loss weights."""
     kl = logs_p - logs_q - 0.5
     kl += 0.5 * ((z_p - m_p) ** 2) * jnp.exp(-2.0 * logs_p)
-    return jnp.mean(kl)
+    return jnp.mean(jnp.sum(kl, axis=-1))
 
 
 def kl_loss_normal(m_q, logs_q, m_p, logs_p) -> jax.Array:
+    """Channel-SUM scale as kl_loss (losses.py:181-203)."""
     kl = logs_p - logs_q - 0.5
     kl += 0.5 * (jnp.exp(2.0 * logs_q) + (m_q - m_p) ** 2) * jnp.exp(
         -2.0 * logs_p
     )
-    return jnp.mean(kl)
+    return jnp.mean(jnp.sum(kl, axis=-1))
 
 
 def normalizing_flow_losses(pred) -> Dict[str, jax.Array]:

@@ -70,6 +70,19 @@ def install_reference():
     librosa.filters.mel = _mel
     sys.modules.setdefault("librosa", librosa)
     sys.modules.setdefault("librosa.filters", librosa.filters)
+
+    # give our stubs a real ModuleSpec: transformers' availability probes
+    # call importlib.util.find_spec on these names
+    import importlib.machinery
+
+    for name in (
+        "munch", "pynvml", "k2", "librosa", "librosa.filters",
+        "torchaudio", "torchaudio.transforms", "torchaudio.functional",
+        "torchaudio.models",
+    ):
+        mod = sys.modules.get(name)
+        if mod is not None and getattr(mod, "__spec__", None) is None:
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
     sys.path.insert(0, REF_SRC)
 
 
