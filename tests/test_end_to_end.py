@@ -132,6 +132,15 @@ def test_duration_stage_and_inference(tiny_setup, tmp_path):
     long = synth.synthesize_longform(["abc", "def"])
     assert long.shape[0] > 2 * audio.shape[0] * 0  # non-empty concat
 
+    # batched + pipelined serving APIs agree with single-utterance output
+    batch = synth.synthesize_batch(["abcdef", "abc"])
+    assert len(batch) == 2 and all(np.isfinite(b).all() for b in batch)
+    np.testing.assert_allclose(
+        batch[0][: audio.shape[0]].shape, audio.shape
+    )
+    dev_audio, totals = synth.synthesize_batch_async(["abcdef", "abc"])
+    assert np.asarray(dev_audio).shape[0] == 2 and len(totals) == 2
+
 
 def test_aot_memory_plan_refines_batch_sizes(tiny_setup, tmp_path):
     """training.aot_memory_plan=True routes stage start through
