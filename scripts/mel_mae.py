@@ -1,0 +1,21 @@
+"""Publish the end-to-end mel-MAE parity number (BASELINE.md target:
+mel MAE < 1e-3 vs the torch reference).  Measurement lives in
+tests/e2e_mel_mae.py — this entry point prints one JSON line."""
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
+
+from e2e_mel_mae import measure_e2e_mel_mae  # noqa: E402
+
+if __name__ == "__main__":
+    mel_mae, audio_mae = measure_e2e_mel_mae()
+    print(json.dumps({
+        "metric": "e2e_mel_mae_vs_torch",
+        "value": mel_mae,
+        "unit": "log_mel_abs_err",
+        "target": 1e-3,
+        "audio_mae": audio_mae,
+    }))

@@ -46,8 +46,20 @@ def main() -> None:
               help="seed model weights from a reference (torch) "
                    "accelerator checkpoint dir before training")
 @click.option("--max-steps", default=None, type=int, help="debug: stop early")
+@click.option("--reset-stage", is_flag=True, default=False,
+              help="restart the stage's step/epoch counters after loading "
+                   "the checkpoint (reference train/cli.py:79-84)")
+@click.option("--distributed", is_flag=True, default=False,
+              help="multi-host: call jax.distributed.initialize")
+@click.option("--coordinator", default=None,
+              help="coordinator address for --distributed off-pod")
+@click.option("--num-processes", default=None, type=int)
+@click.option("--process-id", default=None, type=int)
+@click.option("--workers", default=8, type=int,
+              help="data-loader worker threads per host")
 def train_cmd(config_path, model_config_path, out_dir, stage, checkpoint,
-              init_torch, max_steps):
+              init_torch, max_steps, reset_stage, distributed, coordinator,
+              num_processes, process_id, workers):
     from .train.loop import train_model
     from .train.stages import is_valid_stage, valid_stage_list
 
@@ -64,6 +76,12 @@ def train_cmd(config_path, model_config_path, out_dir, stage, checkpoint,
         checkpoint=checkpoint,
         init_torch=init_torch,
         max_steps=max_steps,
+        reset_stage=reset_stage,
+        distributed=distributed,
+        coordinator=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+        workers=workers,
     )
 
 

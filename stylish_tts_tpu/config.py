@@ -23,7 +23,9 @@ from pydantic import BaseModel, Field
 
 
 class TextAlignerConfig(BaseModel):
-    hidden_dim: int = 256
+    # TDNN/FFN width of the CTC aligner (reference hard-codes 640,
+    # train/models/text_aligner.py:33-45)
+    hidden_dim: int = 640
     token_embedding_dim: int = 512
 
 

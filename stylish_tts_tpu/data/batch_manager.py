@@ -39,12 +39,22 @@ class BatchManager:
         *,
         probe_batch_max: int = 32,
         num_workers: int = 8,
+        divisor: int = 1,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
         self.dataset = dataset
         self.out_dir = Path(out_dir)
         self.stage_name = stage_name
         self.probe_batch_max = probe_batch_max
         self.num_workers = num_workers
+        # data-parallel geometry: every *global* batch must be a multiple
+        # of `divisor` (= mesh data-axis size) so rows shard evenly; each
+        # process loads only its contiguous 1/process_count block (the
+        # per-host data sharding replacing DistributedSampler, SURVEY §5.8)
+        self.divisor = max(1, divisor)
+        self.process_index = process_index
+        self.process_count = max(1, process_count)
         self.time_bins, self.seconds_per_bin = dataset.time_bins()
         self.batch_sizes: Dict[str, int] = {}
         # set when no persisted batch-size file existed and the heuristic
@@ -89,6 +99,7 @@ class BatchManager:
         budget_bytes: int,
         probe_batch: int = 8,
         frozen=None,
+        scale: int = 1,
     ) -> None:
         """TPU-native replacement for the reference's OOM probe loop
         (train/batch_manager.py:70-164): ahead-of-time compile the step for
@@ -139,7 +150,9 @@ class BatchManager:
         for bin_num in self.time_bins:
             f = get_frame_count(bin_num)
             bs = int((budget_bytes - fixed) / (per_sample_frame * f))
-            self.batch_sizes[str(bin_num)] = max(1, min(bs, 256))
+            # the probe is per-device; the stored (global) batch size
+            # scales by the data-parallel width
+            self.batch_sizes[str(bin_num)] = max(1, min(bs, 256)) * scale
         self.save_batch_sizes()
         logger.info(
             "AOT memory plan: %.1f MiB total at probe, %.0f B/sample-frame",
@@ -147,7 +160,12 @@ class BatchManager:
         )
 
     def get_batch_size(self, bin_num: int) -> int:
-        return int(self.batch_sizes.get(str(bin_num), 1))
+        bs = int(self.batch_sizes.get(str(bin_num), 1))
+        if self.divisor > 1:
+            # global batches shard evenly over the data axis; small bins
+            # round UP (the iterator wrap-pads short batches)
+            bs = max(self.divisor, bs // self.divisor * self.divisor)
+        return bs
 
     def set_batch_size(self, bin_num: int, batch_size: int) -> None:
         self.batch_sizes[str(bin_num)] = batch_size
@@ -158,7 +176,7 @@ class BatchManager:
         for key, idxs in self.time_bins.items():
             bs = self.get_batch_size(key)
             if bs > 0:
-                total += len(idxs) // bs + 1
+                total += -(-len(idxs) // bs)  # ceil
         return total
 
     # -- epoch iteration --------------------------------------------------- #
@@ -198,11 +216,28 @@ class BatchManager:
                     for bin_num, idxs in plan:
                         if stop.is_set():
                             break
-                        items = list(pool.map(self.dataset.load_item, idxs))
+                        # wrap-pad so the global batch shards evenly over
+                        # the data axis (the reference runs
+                        # even_batches=False; with static shapes we pad by
+                        # cycling the batch instead of dropping it)
+                        if len(idxs) % self.divisor:
+                            need = -(-len(idxs) // self.divisor) * self.divisor
+                            reps = -(-need // len(idxs))
+                            idxs = (list(idxs) * reps)[:need]
+                        global_bs = len(idxs)
+                        # this process's contiguous block (matches row
+                        # placement of make_array_from_process_local_data)
+                        per = global_bs // self.process_count
+                        local = idxs[
+                            self.process_index * per
+                            : (self.process_index + 1) * per
+                        ]
+                        items = list(pool.map(self.dataset.load_item, local))
                         batch = collate(
                             items, stage=stage, rng=rng, jitter=jitter
                         )
                         batch["bin"] = bin_num
+                        batch["global_batch_size"] = global_bs
                         q.put(batch)
             except Exception as exc:  # propagate to consumer
                 q.put(exc)

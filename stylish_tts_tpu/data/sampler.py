@@ -84,5 +84,5 @@ class DynamicBatchSampler:
         for key, idxs in self.time_bins.items():
             bs = self.get_batch_size(key)
             if bs > 0:
-                total += len(idxs) // bs + 1
+                total += -(-len(idxs) // bs)  # ceil
         return total

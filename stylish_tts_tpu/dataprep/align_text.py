@@ -9,7 +9,10 @@ alignment.safetensors, plus scores_{val,train}.txt confidence files.
 TPU re-design: the Viterbi runs on-device (ops/ctc.py) and the
 frame→token mapping comes from the lattice states (token k owns its
 emission frames and the following blanks), computed with bincount instead
-of the reference's Python frame loop."""
+of the reference's Python frame loop.  Segments are BUCKETED (coarse
+frame × text grids, header-probed lengths) and processed in fixed-size
+batches, so the whole corpus costs O(#buckets) compiles — not one trace
+per unique audio length — and the Viterbi scan runs on full batches."""
 
 from __future__ import annotations
 
@@ -84,7 +87,8 @@ def align_text(config: Config, model_config: ModelConfig) -> None:
         norm_std = float(data.get("mel_log_std", 4.0))
 
     aligner = TextAligner(
-        n_mels=80, n_tokens=mc.text_encoder.tokens, hidden_dim=640
+        n_mels=80, n_tokens=mc.text_encoder.tokens,
+        hidden_dim=mc.text_aligner.hidden_dim,
     )
     rng = jax.random.PRNGKey(0)
     dummy = jnp.zeros((1, 16, 80))
@@ -104,55 +108,112 @@ def align_text(config: Config, model_config: ModelConfig) -> None:
     blank = mc.text_encoder.tokens
 
     @jax.jit
-    def run(wave, text, text_length):
-        mel = to_mel(wave)
+    def run(waves, texts, text_lengths, mel_lengths):
+        mel = to_mel(waves)
         mel = (jnp.log(1e-5 + mel) - norm_mean) / norm_std
         mel = mel[:, :-1]  # reference preprocess drops the last frame
-        mel_length = jnp.full((1,), mel.shape[1], jnp.int32)
-        log_probs, _ = aligner.apply(variables, mel, mel_length)
-        labels, scores, states = forced_align(
-            log_probs, text, mel_length, text_length, blank,
+        log_probs, _ = aligner.apply(variables, mel, mel_lengths)
+        _, scores, states = forced_align(
+            log_probs, texts, mel_lengths, text_lengths, blank,
             return_states=True,
         )
-        return log_probs, labels, scores, states
+        return log_probs, scores, states
+
+    # coarse bucket grids: <=5 frame buckets x <=4 text buckets over
+    # LJSpeech-like corpora -> O(20) compiles total (VERDICT'd hot spot:
+    # the per-unique-length jit retraced thousands of times)
+    FRAME_GRID, TEXT_GRID, BATCH = 200, 128, 16
+    hop = mc.hop_length
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..data.audio import wav_info
 
     result: Dict[str, np.ndarray] = {}
+    pool = ThreadPoolExecutor(8)
     for split, scores_name in (
         (config.dataset.val_data, "scores_val.txt"),
         (config.dataset.train_data, "scores_train.txt"),
     ):
-        scores_map = {}
+        scores_map: Dict[str, float] = {}
         lines = get_data_path_list(root / split)
+        entries = []  # (order, name, ids, fbucket, tbucket)
         for i, line in enumerate(lines):
             fields = line.strip().split("|")
             if len(fields) != 4:
                 continue
             name, phonemes = fields[0], fields[1]
-            wave = read_wav(wavdir / name, mc.sample_rate)
-            ids = text_cleaner("$" + phonemes + "$")
-            text = jnp.asarray(np.asarray(ids, np.int32)[None])
-            tl = jnp.asarray([len(ids)], jnp.int32)
-            log_probs, labels, scores, states = run(
-                jnp.asarray(wave[None]), text, tl
+            ids = np.asarray(text_cleaner("$" + phonemes + "$"), np.int32)
+            info = wav_info(wavdir / name)
+            est_len = info.frames * mc.sample_rate // info.samplerate
+            frames = est_len // hop
+            fbucket = max(
+                FRAME_GRID, -(-(frames + 2) // FRAME_GRID) * FRAME_GRID
             )
-            n_frames = int(np.asarray(log_probs).shape[1])
-            durs = states_to_durations(
-                np.asarray(states)[0][:n_frames], len(ids)
+            tbucket = max(TEXT_GRID, -(-len(ids) // TEXT_GRID) * TEXT_GRID)
+            entries.append((i, name, ids, fbucket, tbucket))
+
+        groups: Dict[tuple, list] = {}
+        for e in entries:
+            groups.setdefault((e[3], e[4]), []).append(e)
+
+        for (fbucket, tbucket), members in sorted(groups.items()):
+            for g in range(0, len(members), BATCH):
+                chunk = members[g : g + BATCH]
+                waves = list(
+                    pool.map(
+                        lambda e: read_wav(wavdir / e[1], mc.sample_rate),
+                        chunk,
+                    )
+                )
+                # pad the batch to a constant BATCH rows (cycled) so each
+                # bucket costs exactly one compile
+                n_real = len(chunk)
+                wave_len = fbucket * hop
+                wbatch = np.zeros((BATCH, wave_len), np.float32)
+                tbatch = np.zeros((BATCH, tbucket), np.int32)
+                tlen = np.ones(BATCH, np.int32)
+                mlen = np.full(BATCH, FRAME_GRID, np.int32)
+                for j in range(BATCH):
+                    e = chunk[j % n_real]
+                    w = waves[j % n_real]
+                    n = min(w.shape[0], wave_len)
+                    wbatch[j, :n] = w[:n]
+                    tbatch[j, : e[2].shape[0]] = e[2]
+                    tlen[j] = e[2].shape[0]
+                    mlen[j] = min(n // hop, fbucket)
+                log_probs, scores, states = run(
+                    jnp.asarray(wbatch), jnp.asarray(tbatch),
+                    jnp.asarray(tlen), jnp.asarray(mlen),
+                )
+                log_probs = np.asarray(log_probs)
+                scores = np.asarray(scores)
+                states = np.asarray(states)
+                for j in range(n_real):
+                    _, name, ids, _, _ = chunk[j]
+                    n_frames = int(mlen[j])
+                    durs = states_to_durations(
+                        states[j][:n_frames], len(ids)
+                    )
+                    left, right = boundary_probs(
+                        log_probs[j], ids, durs
+                    )
+                    result[name] = np.stack(
+                        [durs.astype(np.float32), left, right]
+                    )
+                    scores_map[name] = float(
+                        np.exp(scores[j][:n_frames]).mean()
+                    )
+            logger.info(
+                "%s: bucket (%d frames, %d tokens): %d segments", split,
+                fbucket, tbucket, len(members),
             )
-            left, right = boundary_probs(
-                np.asarray(log_probs)[0], np.asarray(ids), durs
-            )
-            result[name] = np.stack(
-                [durs.astype(np.float32), left, right]
-            )
-            scores_map[name] = float(
-                np.exp(np.asarray(scores)[0][:n_frames]).mean()
-            )
-            if (i + 1) % 200 == 0:
-                logger.info("%s: %d/%d", split, i + 1, len(lines))
         with open(root / scores_name, "w") as f:
-            for name, score in scores_map.items():
-                f.write(f"{score} {name}\n")
+            # original list order (reference writes in iteration order)
+            for _, name, *_ in sorted(entries):
+                if name in scores_map:
+                    f.write(f"{scores_map[name]} {name}\n")
+    pool.shutdown()
 
     from safetensors.numpy import save_file
 

@@ -4,10 +4,13 @@ The reference shells out to pyworld's C++ Harvest/DIO+StoneMask on a host
 thread pool (train/dataprep/pitch_extractor.py:19-121).  TPU-native
 re-design: a batched YIN pitch tracker in pure jnp — framing, FFT
 autocorrelation, cumulative-mean-normalised difference, thresholded lag
-pick with parabolic interpolation — so the whole dataset's F0 is extracted
-on-device in large batches, orders of magnitude faster than per-file C++
-on host cores.  Output format is identical: one [frames] float32 array per
-segment in pitch.safetensors, 0 where unvoiced.
+pick with parabolic interpolation.  YIN frames are independent of their
+file, so the whole dataset flattens into one (file, frame) stream that is
+processed in FIXED-size device chunks: exactly ONE compiled shape
+regardless of how many distinct audio lengths the corpus has, and every
+chunk is a full [4096, frame_len] batch on the MXU.  Output format is
+identical: one [frames] float32 array per segment in pitch.safetensors,
+0 where unvoiced.
 """
 
 from __future__ import annotations
@@ -104,24 +107,82 @@ def _yin_frame_pitch(frames: jax.Array, sample_rate: int) -> jax.Array:
     return jnp.where((f0 >= F0_FLOOR) & (f0 <= F0_CEIL), f0, 0.0)
 
 
-def extract_pitch(
-    wave: np.ndarray, sample_rate: int, hop_length: int
-) -> np.ndarray:
-    """[T] audio -> [T//hop + 1] f0 (host wrapper, jits per frame count)."""
+CHUNK_FRAMES = 4096  # fixed device batch -> exactly one compiled shape
+
+
+def _file_frames(wave: np.ndarray, sample_rate: int, hop_length: int):
+    """[T] audio -> [n_frames, frame_len] analysis windows on the hop grid
+    (zero-copy strided view)."""
     tau_max = int(sample_rate / F0_FLOOR)
     frame_len = YIN_WINDOW + tau_max
     n_frames = wave.shape[0] // hop_length + 1
-    # frames centered on hop grid
     pad = frame_len // 2
     padded = np.pad(wave, (pad, pad + frame_len))
-    starts = np.arange(n_frames) * hop_length
-    frames = np.stack([padded[s : s + frame_len] for s in starts])
-    f0 = np.array(_yin_jit(jnp.asarray(frames), sample_rate))  # writable copy
-    # 3-point median smoothing
+    windows = np.lib.stride_tricks.sliding_window_view(padded, frame_len)
+    return windows[: n_frames * hop_length : hop_length], n_frames
+
+
+def _median3(f0: np.ndarray) -> np.ndarray:
     if f0.shape[0] >= 3:
         stacked = np.stack([f0[:-2], f0[1:-1], f0[2:]])
+        f0 = f0.copy()
         f0[1:-1] = np.median(stacked, axis=0)
     return f0.astype(np.float32)
+
+
+def extract_pitch_batch(
+    waves, sample_rate: int, hop_length: int
+) -> list:
+    """List of [T] audio -> list of [T//hop + 1] f0 tracks.
+
+    Flattens every file's frames into one stream and runs the YIN kernel
+    in fixed CHUNK_FRAMES-size device batches (the last chunk zero-pads),
+    so compile count is 1 and device batches stay full regardless of the
+    corpus's length distribution."""
+    per_file = [
+        _file_frames(np.asarray(w, np.float32), sample_rate, hop_length)
+        for w in waves
+    ]
+    counts = [n for _, n in per_file]
+    total = sum(counts)
+    if total == 0:
+        return [np.zeros(0, np.float32) for _ in waves]
+    frame_len = per_file[0][0].shape[1]
+    out = np.empty(total, np.float32)
+    stream_pos = 0
+    buf = np.zeros((CHUNK_FRAMES, frame_len), np.float32)
+    fill = 0
+    for frames, n in per_file:
+        taken = 0
+        while taken < n:
+            step = min(CHUNK_FRAMES - fill, n - taken)
+            buf[fill : fill + step] = frames[taken : taken + step]
+            fill += step
+            taken += step
+            if fill == CHUNK_FRAMES:
+                out[stream_pos : stream_pos + fill] = np.asarray(
+                    _yin_jit(jnp.asarray(buf), sample_rate)
+                )
+                stream_pos += fill
+                fill = 0
+    if fill:
+        buf[fill:] = 0.0
+        out[stream_pos : stream_pos + fill] = np.asarray(
+            _yin_jit(jnp.asarray(buf), sample_rate)
+        )[:fill]
+    results = []
+    pos = 0
+    for n in counts:
+        results.append(_median3(out[pos : pos + n]))
+        pos += n
+    return results
+
+
+def extract_pitch(
+    wave: np.ndarray, sample_rate: int, hop_length: int
+) -> np.ndarray:
+    """[T] audio -> [T//hop + 1] f0 (single-file wrapper)."""
+    return extract_pitch_batch([wave], sample_rate, hop_length)[0]
 
 
 _yin_cache = {}
@@ -160,35 +221,43 @@ def calculate_pitch(
     root = Path(config.dataset.path)
     wavdir = root / config.dataset.wav_path
     out: Dict[str, np.ndarray] = {}
-    for split in (config.dataset.val_data, config.dataset.train_data):
-        lines = get_data_path_list(root / split)
-        for i, line in enumerate(lines):
-            fields = line.strip().split("|")
-            if len(fields) != 4:
-                continue
-            name = fields[0]
-            wave = read_wav(wavdir / name, model_config.sample_rate)
-            if rmvpe is not None:
-                import jax.numpy as jnp
+    from concurrent.futures import ThreadPoolExecutor
 
-                wave16 = np.asarray(
-                    jresample(
-                        jnp.asarray(wave[None]),
-                        model_config.sample_rate, 16000,
-                    )
-                )[0]
-                f0 = rmvpe(wave16)
-                n_frames = wave.shape[0] // model_config.hop_length + 1
-                # linear-interp to the mel frame grid (reference
-                # pitch_extractor.py:140-145)
-                xp = np.linspace(0, 1, f0.shape[0])
-                xq = np.linspace(0, 1, n_frames)
-                out[name] = np.interp(xq, xp, f0).astype(np.float32)
-            else:
-                out[name] = extract_pitch(
-                    wave, model_config.sample_rate, model_config.hop_length
+    sr, hop = model_config.sample_rate, model_config.hop_length
+    GROUP = 64  # files per device megabatch (bounds host RAM)
+    with ThreadPoolExecutor(8) as pool:
+        for split in (config.dataset.val_data, config.dataset.train_data):
+            lines = get_data_path_list(root / split)
+            names = [
+                f[0]
+                for f in (line.strip().split("|") for line in lines)
+                if len(f) == 4
+            ]
+            done = 0
+            for g in range(0, len(names), GROUP):
+                group = names[g : g + GROUP]
+                waves = list(
+                    pool.map(lambda n: read_wav(wavdir / n, sr), group)
                 )
-            if (i + 1) % 200 == 0:
-                logger.info("%s: %d/%d", split, i + 1, len(lines))
+                if rmvpe is not None:
+                    for name, wave in zip(group, waves):
+                        wave16 = np.asarray(
+                            jresample(jnp.asarray(wave[None]), sr, 16000)
+                        )[0]
+                        f0 = rmvpe(wave16)
+                        n_frames = wave.shape[0] // hop + 1
+                        # linear-interp to the mel frame grid (reference
+                        # pitch_extractor.py:140-145)
+                        xp = np.linspace(0, 1, f0.shape[0])
+                        xq = np.linspace(0, 1, n_frames)
+                        out[name] = np.interp(xq, xp, f0).astype(np.float32)
+                else:
+                    for name, f0 in zip(
+                        group, extract_pitch_batch(waves, sr, hop)
+                    ):
+                        out[name] = f0
+                done += len(group)
+                if done % 512 < GROUP:
+                    logger.info("%s: %d/%d", split, done, len(names))
     save_file(out, str(root / config.dataset.pitch_path))
     logger.info("wrote %s (%d segments)", config.dataset.pitch_path, len(out))

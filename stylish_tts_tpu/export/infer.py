@@ -64,8 +64,21 @@ class Synthesizer:
                 {"params": params["duration_predictor"]}, tokens, lengths
             )
 
+        @partial(jax.jit, static_argnums=())
+        def style_graph(params, tokens, lengths):
+            """Text-derived style vector — exposed separately so long-form
+            synthesis can blend styles across sentences (the reference's
+            combine_styles, tts/ttab/inference.py:572-578)."""
+            pe_enc, _, _ = self.models["pe_text_encoder"].apply(
+                {"params": params["pe_text_encoder"]}, tokens, lengths
+            )
+            return self.models["pe_text_style_encoder"].apply(
+                {"params": params["pe_text_style_encoder"]}, pe_enc, lengths
+            )
+
         @partial(jax.jit, static_argnums=(4,))
-        def speech_graph(params, tokens, lengths, durations, frames, rng):
+        def speech_graph(params, tokens, lengths, durations, frames, style,
+                         rng):
             # the alignment is built on device from the [B, T] duration
             # vector — uploading the dense [B, T, frames] one-hot per call
             # costs ~frames× more transfer over the host link
@@ -74,9 +87,6 @@ class Synthesizer:
             )
             pe_enc, _, _ = self.models["pe_text_encoder"].apply(
                 {"params": params["pe_text_encoder"]}, tokens, lengths
-            )
-            style = self.models["pe_text_style_encoder"].apply(
-                {"params": params["pe_text_style_encoder"]}, pe_enc, lengths
             )
             pitch, energy = self.models["pitch_energy_predictor"].apply(
                 {"params": params["pitch_energy_predictor"]},
@@ -94,6 +104,7 @@ class Synthesizer:
             ).astype(jnp.int16)
 
         self._duration_graph = duration_graph
+        self._style_graph = style_graph
         self._speech_graph = speech_graph
 
     # ------------------------------------------------------------------ #
@@ -113,16 +124,24 @@ class Synthesizer:
         durs = self.duration_processor.prediction_to_duration(logits[0])
         return np.asarray(durs[:n], dtype=np.int64)
 
+    def text_style(self, phonemes: str) -> jax.Array:
+        """Style vector [1, style_dim] for one utterance."""
+        tokens, lengths, _ = self._encode(phonemes)
+        return self._style_graph(self.params, tokens, lengths)
+
     def synthesize(
         self,
         phonemes: str,
         speed: float = 1.0,
         fixed_duration: Optional[int] = None,
+        style: Optional[jax.Array] = None,
     ) -> np.ndarray:
         """Single-utterance synthesis -> float32 waveform at 24 kHz.
 
         ``fixed_duration`` bypasses the duration model with a constant
-        frames-per-token (benchmarking with untrained weights)."""
+        frames-per-token (benchmarking with untrained weights).
+        ``style`` overrides the text-derived style vector (long-form
+        style carry-over)."""
         tokens, lengths, n = self._encode(phonemes)
         logits = self._duration_graph(self.params, tokens, lengths)
         if fixed_duration is not None:
@@ -140,10 +159,12 @@ class Synthesizer:
         frames = frame_bucket(total_frames)
         dur_vec = np.zeros((1, tokens.shape[1]), np.int32)
         dur_vec[0, :n] = durs
+        if style is None:
+            style = self._style_graph(self.params, tokens, lengths)
         self.rng, sample_rng = jax.random.split(self.rng)
         audio = self._speech_graph(
             self.params, tokens, lengths, jnp.asarray(dur_vec), frames,
-            sample_rng,
+            style, sample_rng,
         )
         samples = total_frames * self.mc.hop_length
         return (
@@ -192,10 +213,11 @@ class Synthesizer:
             dur_vec[i, : len(ids)] = d
             totals.append(int(d.sum()))
             frames = max(frames, frame_bucket(int(d.sum())))
+        style = self._style_graph(self.params, tokens_j, lengths_j)
         self.rng, sample_rng = jax.random.split(self.rng)
         audio = self._speech_graph(
             self.params, tokens_j, lengths_j, jnp.asarray(dur_vec),
-            frames, sample_rng,
+            frames, style, sample_rng,
         )
         return audio, totals
 
@@ -223,18 +245,68 @@ class Synthesizer:
         self,
         sentences: List[str],
         silence_ms: float = 120.0,
+        crossfade_ms: float = 15.0,
+        trim_threshold: float = 1000.0 / 32768.0,
+        style_alpha: float = 0.7,
+        style_memory: int = 3,
     ) -> np.ndarray:
-        """Sentence-streaming long-form synthesis with inter-sentence
-        silence (capability of train/test_onnx.py:47-92 and the legacy
-        audiobook driver)."""
+        """Sentence-streaming long-form synthesis (capability of
+        train/test_onnx.py:47-92 and the legacy audiobook driver):
+
+        - per-sentence silence trimming at the reference's amplitude
+          threshold (tts/ttab/inference.py:195-200)
+        - linear cross-fades at segment joins — blend_together
+          (tts/ttab/inference.py:556-563) — plus inter-sentence silence
+        - style carry-over: each sentence's style vector blends with the
+          last ``style_memory`` sentences' — combine_styles
+          (tts/ttab/inference.py:572-578)
+        """
         sr = self.mc.sample_rate
         gap = np.zeros(int(sr * silence_ms / 1000.0), np.float32)
-        pieces = []
-        for i, sentence in enumerate(sentences):
-            if i > 0:
-                pieces.append(gap)
-            pieces.append(self.synthesize(sentence))
-        return np.concatenate(pieces) if pieces else np.zeros(0, np.float32)
+        fade = max(1, int(sr * crossfade_ms / 1000.0))
+        recent_styles: List[jax.Array] = []
+        out: Optional[np.ndarray] = None
+        for sentence in sentences:
+            style = self.text_style(sentence)
+            if recent_styles:
+                others = sum(np.asarray(s) for s in recent_styles) / len(
+                    recent_styles
+                )
+                blended = style_alpha * np.asarray(style) + (
+                    1.0 - style_alpha
+                ) * others
+                style = jnp.asarray(blended)
+            recent_styles = (recent_styles + [style])[-style_memory:]
+            audio = trim_silence(self.synthesize(sentence, style=style),
+                                 trim_threshold)
+            if out is None:
+                out = audio
+                continue
+            out = np.concatenate([out, gap])
+            n = min(fade, out.shape[0], audio.shape[0])
+            if n > 1:
+                w = np.linspace(0.0, 1.0, n, dtype=np.float32)
+                head = w * audio[:n] + (1.0 - w) * out[-n:]
+                out = np.concatenate([out[:-n], head, audio[n:]])
+            else:
+                out = np.concatenate([out, audio])
+        return out if out is not None else np.zeros(0, np.float32)
+
+
+def trim_silence(
+    audio: np.ndarray, threshold: float = 1000.0 / 32768.0,
+    keep_tail: int = 2400,
+) -> np.ndarray:
+    """Trim leading/trailing samples below an amplitude threshold; keeps a
+    short natural release tail (the reference trims with the same
+    threshold and keeps 9000 samples of tail at 24 kHz,
+    tts/ttab/inference.py:194-200)."""
+    loud = np.flatnonzero(np.abs(audio) >= threshold)
+    if loud.size == 0:
+        return audio  # fully-quiet utterance: nothing to anchor a trim on
+    start = int(loud[0])
+    end = min(audio.shape[0], int(loud[-1]) + 1 + keep_tail)
+    return audio[start:end]
 
 
 @dataclass

@@ -50,7 +50,7 @@ def build_models(model_config: ModelConfig) -> Dict[str, nn.Module]:
         "text_aligner": TextAligner(
             n_mels=80,  # alignment runs on an 80-mel frontend (train_context.py:159-165)
             n_tokens=tc.tokens,
-            hidden_dim=640,
+            hidden_dim=mc.text_aligner.hidden_dim,
         ),
         "duration_predictor": DurationPredictor(mc),
         "pitch_energy_predictor": PitchEnergyPredictor(mc),

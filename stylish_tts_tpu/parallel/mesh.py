@@ -50,14 +50,11 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
 
 def make_parallel_train_step(step_fn, mesh: Mesh):
     """jit the stage step over the mesh: state replicated, batch sharded
-    over 'data', outputs replicated.  GSPMD handles the grad psum."""
+    over 'data', outputs replicated.  GSPMD handles the grad psum — and
+    the CTC label-prior epoch accumulators (reference accelerator.gather,
+    losses.py:603-611) reduce the same way: the batch is one global array,
+    so the in-step prior sums are already global reductions."""
     replicated = NamedSharding(mesh, P())
-
-    def batch_sharding(batch):
-        return {
-            k: NamedSharding(mesh, P("data", *([None] * (v.ndim - 1))))
-            for k, v in batch.items()
-        }
 
     def wrapped(state, batch, rng, frozen=None):
         return step_fn(state, batch, rng, frozen)
@@ -67,4 +64,18 @@ def make_parallel_train_step(step_fn, mesh: Mesh):
         in_shardings=(replicated, None, replicated, replicated),
         out_shardings=(replicated, replicated),
         donate_argnums=(0,),
+    )
+
+
+def make_parallel_eval_step(eval_fn, mesh: Mesh):
+    """jit a (state, batch, rng, frozen) -> outputs eval step over the mesh."""
+    replicated = NamedSharding(mesh, P())
+
+    def wrapped(state, batch, rng, frozen=None):
+        return eval_fn(state, batch, rng, frozen)
+
+    return jax.jit(
+        wrapped,
+        in_shardings=(replicated, None, replicated, replicated),
+        out_shardings=replicated,
     )

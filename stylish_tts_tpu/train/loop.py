@@ -28,6 +28,15 @@ from ..data.batch_manager import BatchManager
 from ..data.dataset import FilePathDataset, get_data_path_list
 from ..models import build_models
 from ..ops.mel import MelSpectrogram
+from ..parallel import (
+    global_batch_from_local,
+    initialize_distributed,
+    is_main_process,
+    make_mesh,
+    make_parallel_eval_step,
+    make_parallel_train_step,
+    replicate,
+)
 from ..text import TextCleaner
 from .checkpoint import (
     Manifest,
@@ -165,6 +174,76 @@ def select_val_samples(val_dataset, count: int):
     return [i for _, i in sorted(scored)[:count]]
 
 
+_META_KEYS = ("paths", "bin", "global_batch_size")
+
+
+def _device_batch(batch, mesh):
+    """Assemble this host's local numpy batch into globally-sharded device
+    arrays (rows over the mesh 'data' axis).  Single process: the local
+    batch IS the global batch."""
+    return global_batch_from_local(
+        {k: v for k, v in batch.items() if k not in _META_KEYS}, mesh
+    )
+
+
+def _is_oom(exc: Exception) -> bool:
+    msg = str(exc)
+    return (
+        "RESOURCE_EXHAUSTED" in msg
+        or "Out of memory" in msg
+        or "out of memory" in msg
+    )
+
+
+def _guarded_step(step_fn, state, batch, rng, frozen, bm, mesh, skip_bins):
+    """Run one train step with the reference's OOM resilience semantics
+    (train/batch_manager.py:187-242): on device OOM, persistently shrink
+    the bin's batch size, retry the batch truncated to the new size
+    (recompiling at the smaller static shape), and after 3 failures latch
+    the bin as skipped for this epoch.
+
+    Returns (state, metrics_or_None)."""
+    bin_num = batch.get("bin")
+    host_rows = batch["text"].shape[0]
+    for _ in range(3):
+        try:
+            device_batch = _device_batch(
+                {k: v[:host_rows] if hasattr(v, "shape") else v
+                 for k, v in batch.items()},
+                mesh,
+            )
+            return step_fn(state, device_batch, rng, frozen)
+        except Exception as exc:  # noqa: BLE001
+            if not _is_oom(exc):
+                raise
+            cur = bm.get_batch_size(bin_num)
+            new_bs = max(bm.divisor, cur // 2 // bm.divisor * bm.divisor)
+            if new_bs >= cur:
+                break
+            bm.set_batch_size(bin_num, new_bs)
+            host_rows = max(1, new_bs // max(jax.process_count(), 1))
+            logger.warning(
+                "OOM on bin %s: batch size %d -> %d (persisted), retrying",
+                bin_num, cur, new_bs,
+            )
+    skip_bins.add(bin_num)
+    logger.warning("bin %s OOMs at minimum batch; skipping this epoch", bin_num)
+    return state, None
+
+
+def _drain_metrics(logs):
+    """Average accumulated device-scalar metric dicts with ONE host
+    transfer: stack on device, fetch the [n_logs, n_metrics] block in a
+    single device_get instead of log_interval × n_metrics scalar reads
+    through the transfer tunnel."""
+    if not logs:
+        return {}
+    names = sorted(logs[0].keys())
+    block = jnp.stack([jnp.stack([m[k] for k in names]) for m in logs])
+    means = np.asarray(block).mean(axis=0)
+    return {k: float(v) for k, v in zip(names, means)}
+
+
 def train_model(
     *,
     config: Config,
@@ -174,8 +253,27 @@ def train_model(
     checkpoint: Optional[str] = None,
     init_torch: Optional[str] = None,
     max_steps: Optional[int] = None,
+    reset_stage: bool = False,
+    distributed: bool = False,
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    workers: int = 8,
 ) -> Manifest:
-    """Multi-stage training with auto-advance.  Returns the final manifest."""
+    """Multi-stage training with auto-advance.  Returns the final manifest.
+
+    Always runs data-parallel over a mesh spanning every visible device
+    (the reference trains through Accelerate/DDP everywhere,
+    train/train_context.py:91-101); one device degenerates to the serial
+    case.  Multi-host: pass ``distributed=True`` (plus coordinator args
+    off-pod) — per-host loaders feed their slice of each global batch and
+    process 0 owns logging/checkpoints."""
+    if distributed:
+        initialize_distributed(coordinator, num_processes, process_id)
+    mesh = make_mesh()
+    n_data = mesh.shape["data"]
+    main_process = is_main_process()
+
     ctx = TrainContext(
         stage_name=stage_name,
         out_dir=out_dir,
@@ -184,13 +282,15 @@ def train_model(
     )
     from ..utils.profiling import save_git_state
 
-    save_git_state(ctx.base_out_dir)
-    try:
-        from tensorboardX import SummaryWriter
+    if main_process:
+        save_git_state(ctx.base_out_dir)
+    if main_process:
+        try:
+            from tensorboardX import SummaryWriter
 
-        ctx.writer = SummaryWriter(str(ctx.out_dir / "tensorboard"))
-    except Exception:
-        ctx.writer = None
+            ctx.writer = SummaryWriter(str(ctx.out_dir / "tensorboard"))
+        except Exception:
+            ctx.writer = None
 
     rng = jax.random.PRNGKey(0)
     variables = init_model_variables(ctx.models, model_config, rng)
@@ -208,6 +308,12 @@ def train_model(
         # its restricted view to the device (see restrict_state)
         state = jax.device_get(state)
         logger.info("restored checkpoint %s", checkpoint)
+        if reset_stage:
+            # restart the stage's counters while keeping the weights
+            # (reference --reset-stage, train/cli.py:79-84)
+            ctx.manifest.current_step = 0
+            ctx.manifest.current_epoch = 0
+            ctx.manifest.stage = ""
 
     current = stage_name
     while current is not None:
@@ -220,6 +326,10 @@ def train_model(
             ctx.out_dir,
             current,
             probe_batch_max=plan.probe_batch_max,
+            num_workers=workers,
+            divisor=n_data,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
         )
         ctx.init_normalization()
         steps_per_epoch = ctx.batch_manager.steps_per_epoch()
@@ -262,24 +372,33 @@ def train_model(
         full_state, state = state, restrict_state(state, needed)
         if config.training.aot_memory_plan and ctx.batch_manager.freshly_planned:
             # replace the heuristic bucket plan with XLA's compiled memory
-            # analysis (the reference's OOM probe, moved ahead of time)
+            # analysis (the reference's OOM probe, moved ahead of time);
+            # the probe is per-device, so solved sizes scale by the data
+            # axis to become global batch sizes
             ctx.batch_manager.refine_plan_aot(
                 make_train_step(current, stage_ctx, plan.lr),
                 state, model_config,
                 stage_inputs=STAGES[current].inputs,
                 budget_bytes=config.training.memory_budget_mib * 2**20,
                 frozen=frozen,
+                scale=n_data,
             )
             steps_per_epoch = ctx.batch_manager.steps_per_epoch()
             stage_ctx.step_limit = max(steps_per_epoch * plan.epochs, 1)
             ctx.manifest.steps_per_epoch = steps_per_epoch
-        step_fn = jax.jit(
-            make_train_step(current, stage_ctx, plan.lr), donate_argnums=(0,)
+        step_fn = make_parallel_train_step(
+            make_train_step(current, stage_ctx, plan.lr), mesh
         )
-        eval_fn = jax.jit(make_eval_step(current, stage_ctx))
+        eval_fn = make_parallel_eval_step(make_eval_step(current, stage_ctx), mesh)
+        state = replicate(state, mesh)
+        frozen = replicate(frozen, mesh)
         val_manager = BatchManager(
             ctx.val_dataset, ctx.out_dir, current,
             probe_batch_max=plan.probe_batch_max,
+            num_workers=workers,
+            divisor=n_data,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
         )
         val_samples = select_val_samples(
             ctx.val_dataset, config.validation.sample_count
@@ -301,18 +420,21 @@ def train_model(
                 stage=current, epoch=epoch + 1,
                 skip_batches=resume_skip if epoch == start_epoch else 0,
             )
+            skip_bins = set()
             for batch in iterator:
+                if batch.get("bin") in skip_bins:
+                    continue
                 rng, step_rng = jax.random.split(rng)
-                device_batch = {
-                    k: jnp.asarray(v)
-                    for k, v in batch.items()
-                    if k not in ("paths", "bin")
-                }
-                state, metrics = step_fn(state, device_batch, step_rng, frozen)
+                state, metrics = _guarded_step(
+                    step_fn, state, batch, step_rng, frozen,
+                    ctx.batch_manager, mesh, skip_bins,
+                )
+                if metrics is None:  # bin latched after repeated OOM
+                    continue
                 ctx.manifest.current_step += 1
                 ctx.manifest.current_total_step += 1
                 ctx.manifest.total_trained_audio_seconds += (
-                    batch["audio_gt"].shape[0]
+                    batch["global_batch_size"]
                     * batch["audio_gt"].shape[1]
                     / model_config.sample_rate
                 )
@@ -322,20 +444,19 @@ def train_model(
                 logs.append(metrics)
                 step = ctx.manifest.current_total_step
                 if step % config.training.log_interval == 0:
-                    combined = combine_metrics(
-                        [{k: float(v) for k, v in m.items()} for m in logs]
-                    )
+                    combined = _drain_metrics(logs)
                     logs = []
                     total = combined.pop("loss", 0.0)
-                    logger.info(
-                        "[%s] epoch %d step %d %s", current,
-                        ctx.manifest.current_epoch, step,
-                        format_metrics(combined, total),
-                    )
-                    if ctx.writer:
-                        ctx.writer.add_scalar("train/loss", total, step)
-                        for k, v in combined.items():
-                            ctx.writer.add_scalar(f"train/{k}", v, step)
+                    if main_process:
+                        logger.info(
+                            "[%s] epoch %d step %d %s", current,
+                            ctx.manifest.current_epoch, step,
+                            format_metrics(combined, total),
+                        )
+                        if ctx.writer:
+                            ctx.writer.add_scalar("train/loss", total, step)
+                            for k, v in combined.items():
+                                ctx.writer.add_scalar(f"train/{k}", v, step)
                 if step % config.training.val_interval == 0:
                     if current == "alignment":
                         # the alignment stage deliberately trains on the val
@@ -347,17 +468,13 @@ def train_model(
                             jitter=False,
                         ):
                             rng, vrng = jax.random.split(rng)
-                            vdev = {
-                                k: jnp.asarray(v)
-                                for k, v in vbatch.items()
-                                if k not in ("paths", "bin")
-                            }
+                            vdev = _device_batch(vbatch, mesh)
                             state, _ = step_fn(state, vdev, vrng, frozen)
                     _validate(
                         ctx, state, eval_fn, val_manager, current, rng,
-                        val_samples,
+                        val_samples, mesh, frozen,
                     )
-                if step % config.training.save_interval == 0:
+                if step % config.training.save_interval == 0 and main_process:
                     _save(
                         ctx, merge_state(full_state, state), config,
                         model_config,
@@ -371,12 +488,13 @@ def train_model(
                 break
 
         state = merge_state(full_state, state)
-        if current == "alignment":
+        if current == "alignment" and main_process:
             save_model_safetensors(
                 ctx.base_out_dir / "alignment_model.safetensors",
                 state.params["text_aligner"],
             )
-        _save(ctx, state, config, model_config, final=True)
+        if main_process:
+            _save(ctx, state, config, model_config, final=True)
         if done:
             break
         current = STAGES[current].next_stage
@@ -385,7 +503,10 @@ def train_model(
     return ctx.manifest
 
 
-def _validate(ctx, state, eval_fn, val_manager, stage, rng, val_samples):
+def _validate(
+    ctx, state, eval_fn, val_manager, stage, rng, val_samples, mesh,
+    frozen=None,
+):
     """Run the eval step over the val set; log metrics and write audio/mel
     artifacts for the deterministic sample set (reference
     train/stage.py:131-303)."""
@@ -395,12 +516,8 @@ def _validate(ctx, state, eval_fn, val_manager, stage, rng, val_samples):
     for batch in val_manager.epoch_iterator(
         stage=stage, epoch=0, shuffle=False, jitter=False,
     ):
-        device_batch = {
-            k: jnp.asarray(v)
-            for k, v in batch.items()
-            if k not in ("paths", "bin")
-        }
-        metrics, audio_pred = eval_fn(state, device_batch, rng)
+        device_batch = _device_batch(batch, mesh)
+        metrics, audio_pred = eval_fn(state, device_batch, rng, frozen)
         logs.append({k: float(v) for k, v in metrics.items()})
         if (
             ctx.writer is not None
@@ -463,9 +580,10 @@ def _validate(ctx, state, eval_fn, val_manager, stage, rng, val_samples):
             samples_written += 1
     combined = combine_metrics(logs)
     total = combined.pop("loss", 0.0)
-    logger.info(
-        "Validation step %d: %s", step, format_metrics(combined, total)
-    )
+    if is_main_process():
+        logger.info(
+            "Validation step %d: %s", step, format_metrics(combined, total)
+        )
     if total < ctx.manifest.best_loss:
         ctx.manifest.best_loss = total
     if ctx.writer is not None:

@@ -755,12 +755,19 @@ def make_eval_step(stage_name: str, ctx: StageContext):
     """Jitted validation step: (state, batch, rng) -> (metrics, audio_pred).
 
     Mirrors the reference validate_* functions (stage_type.py:78-111,
-    195-229, 306-337, 400-437, 483-523): no parameter updates, losses on
-    the stage's inference composition, plus synthesized audio for
-    TensorBoard samples where the stage produces audio."""
+    195-229, 306-337, 400-437, 483-523, 700-760): no parameter updates,
+    losses on the stage's inference composition, plus synthesized audio
+    for TensorBoard samples where the stage produces audio."""
     stage = STAGES[stage_name]
 
-    def step(state: TrainState, batch, rng):
+    def step(state: TrainState, batch, rng, frozen=None):
+        sctx = ctx
+        if frozen is not None:
+            sctx = dataclasses.replace(
+                ctx,
+                slm_params=frozen.get("slm", ctx.slm_params),
+                ssl_params=frozen.get("ssl", ctx.ssl_params),
+            )
         rngs = {"dropout": rng, "sample": rng}
         params = state.params
         metrics: Dict[str, jax.Array] = {}
@@ -840,6 +847,119 @@ def make_eval_step(stage_name: str, ctx: StageContext):
                 pred, targets, batch["text_length"], ctx.duration_class_weight
             )
             metrics = {"duration_ce": ce, "duration": cdw}
+            # the TRUE end-to-end inference check: predicted durations ->
+            # alignment -> pitch/energy -> speech, per the reference
+            # validate_duration (stage_type.py:483-523).  The frame axis
+            # stays the batch bucket's static length; predicted durations
+            # past it are clipped (duration_to_alignment drops them).
+            frames = batch["alignment"].shape[-1]
+            durs = ctx.duration_processor.prediction_to_duration(pred)
+            token_mask = (
+                jnp.arange(durs.shape[1])[None, :]
+                < batch["text_length"][:, None]
+            )
+            durs = jnp.where(token_mask, durs, 0)
+            pred_align = ctx.duration_processor.batched_duration_to_alignment(
+                durs, frames
+            )
+            pe_enc, _, _ = ctx.apply(
+                "pe_text_encoder", params, None,
+                batch["text"], batch["text_length"],
+            )
+            text_style = ctx.apply(
+                "pe_text_style_encoder", params, None, pe_enc,
+                batch["text_length"],
+            )
+            pred_pitch, pred_energy = ctx.apply(
+                "pitch_energy_predictor", params, None,
+                pe_enc, batch["text_length"], pred_align, text_style,
+            )
+            sp = ctx.apply(
+                "speech_predictor", params, state.batch_stats,
+                batch["text"], batch["text_length"], pred_align,
+                pred_pitch, pred_energy, None, rngs={"sample": rng},
+            )
+            audio_pred = sp.audio
+        elif stage_name == "hubert_acoustic":
+            # reference validate_hubert_acoustic (stage_type.py:700-744):
+            # frozen SSL features drive the hubert predictor, GT pitch
+            mel, mel_length, energy = sctx.mel_and_energy(batch["audio_gt"])
+            phones, spk_emb = sctx.ssl_features(
+                batch["audio_gt"], mel.shape[1]
+            )
+            pred = sctx.apply(
+                "hubert_speech_predictor", params, state.batch_stats,
+                phones, mel_length, spk_emb,
+                batch["pitch"][:, : mel.shape[1]], energy, None,
+                rngs={"sample": rng},
+            )
+            pred_pitch, pred_energy = sctx.apply(
+                "hubert_pitch_energy_predictor", params, None,
+                phones, mel_length, spk_emb,
+            )
+            t_mag, p_mag, _, _, _, _ = sctx.multi_spectrogram(
+                target=batch["audio_gt"], pred=pred.audio
+            )
+            metrics = {
+                "mel": L.multi_resolution_stft_loss(t_mag, p_mag),
+                "pitch": L.smooth_l1_loss(
+                    pred_pitch, batch["pitch"][:, : pred_pitch.shape[1]]
+                ),
+                "energy": L.smooth_l1_loss(pred_energy, energy),
+            }
+            audio_pred = pred.audio
+        elif stage_name == "cfm_hubert_mel":
+            # reference validate_cfm_mel (stage_type.py:747-760): solve the
+            # CFM ODE from noise, compare mels, and audition the result —
+            # via Griffin-Lim here (weight-free Vocos substitute, see
+            # ops/griffin_lim.py)
+            mel, _, energy = sctx.mel_and_energy(batch["audio_gt"])
+            phones, spk_emb = sctx.ssl_features(batch["audio_gt"], mel.shape[1])
+
+            def estimator(x, t, **conds):
+                return sctx.models["cfm_mel_decoder"].apply(
+                    {"params": params["cfm_mel_decoder"]}, x, t,
+                    train=False, rngs={"sample": rng}, **conds,
+                )
+
+            sampler = CfmSampler(estimator, non_drop_conds=["spk_emb"])
+            z = jax.random.normal(rng, mel.shape, mel.dtype)
+            mel_pred = sampler.sample(
+                z, n_timesteps=16,
+                asr=phones, f0=batch["pitch"][:, : mel.shape[1]],
+                energy=energy, spk_emb=spk_emb,
+            )
+            metrics = {
+                "mel_l2": jnp.mean((mel_pred - mel) ** 2),
+                "mel_l1": jnp.mean(jnp.abs(mel_pred - mel)),
+            }
+            from ..ops.griffin_lim import mel_to_audio
+
+            mc = sctx.model_config
+            audio_pred = mel_to_audio(
+                mel_pred, sample_rate=mc.sample_rate, n_fft=mc.n_fft,
+                win_length=mc.win_length, hop_length=mc.hop_length,
+                mean=sctx.mel_mean, std=sctx.mel_std, rng=rng,
+            )
+        elif stage_name == "cfm_hubert_pitch":
+            mel, _, _ = sctx.mel_and_energy(batch["audio_gt"])
+            phones, _ = sctx.ssl_features(
+                batch["audio_gt"], batch["pitch"].shape[1]
+            )
+            f0 = batch["pitch"]
+            unvoiced = f0 == 0
+            normed_f0 = norm_f0_zscore(
+                f0, unvoiced, sctx.f0_log2_mean, sctx.f0_log2_std
+            )
+            pred = sctx.apply(
+                "cfm_pitch_predictor", params, state.batch_stats, phones,
+                mel,
+            )
+            metrics = {
+                "normed_pitch_l2": jnp.mean(
+                    (pred[:, : normed_f0.shape[1]] - normed_f0) ** 2
+                )
+            }
         metrics["loss"] = weighted_total(metrics, ctx.weights)
         return metrics, audio_pred
 

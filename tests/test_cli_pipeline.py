@@ -37,6 +37,8 @@ def pipeline_root(tmp_path_factory):
         "decoder": {"hidden_dim": 128, "residual_dim": 32},
         "generator": {"type": "freegan", "input_dim": 128,
                       "hidden_dim": 128, "conv_intermediate_dim": 256},
+        "slm": {"layers": 2},
+        "text_aligner": {"hidden_dim": 64},
     }
     (root / "config.yml").write_text(yaml.safe_dump(cfg))
     (root / "model.yml").write_text(yaml.safe_dump(mc))

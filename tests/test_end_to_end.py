@@ -10,50 +10,7 @@ import pytest
 pytestmark = pytest.mark.slow
 
 
-def make_synthetic_dataset(root: Path, n_segments: int = 6):
-    """Tiny sine-speech dataset with pitch + alignment caches."""
-    from safetensors.numpy import save_file
-    from scipy.io import wavfile
-
-    sr, hop = 24000, 300
-    rng = np.random.default_rng(0)
-    (root / "wav24").mkdir(parents=True, exist_ok=True)
-    phon_pool = list("abcdefghijklmnop")
-    lines = []
-    pitch_map, align_map = {}, {}
-    for i in range(n_segments):
-        frames = int(rng.integers(24, 40))  # 0.3-0.5 s
-        n = frames * hop + int(rng.integers(0, hop))
-        f0 = 120.0 + 40.0 * rng.random()
-        t = np.arange(n) / sr
-        wave = 0.4 * np.sin(2 * np.pi * f0 * t) * (
-            0.5 + 0.5 * np.sin(2 * np.pi * 3.0 * t)
-        ) + 0.01 * rng.standard_normal(n)
-        name = f"seg_{i}.wav"
-        wavfile.write(
-            root / "wav24" / name, sr, (wave * 32767).astype(np.int16)
-        )
-        n_ph = int(rng.integers(4, 9))
-        phonemes = "".join(rng.choice(phon_pool, n_ph))
-        lines.append(f"{name}|{phonemes}|0|{phonemes}")
-        n_frames = n // hop + 1
-        pitch_map[name] = np.full(n_frames, f0, np.float32)
-        # alignment over bracketed text (n_ph + 2 pads)
-        tokens = n_ph + 2
-        # bin frame count (padded): ((n//hop)-20)//20*20+60
-        bin_num = (n // hop - 20) // 20
-        frame_count = bin_num * 20 + 60
-        base = frame_count // tokens
-        durs = np.full(tokens, base, np.float32)
-        durs[-1] += frame_count - base * tokens
-        align_map[name] = np.stack(
-            [durs, np.full(tokens, 0.2, np.float32),
-             np.full(tokens, 0.2, np.float32)]
-        )
-    (root / "train-list.txt").write_text("\n".join(lines[:-2]))
-    (root / "val-list.txt").write_text("\n".join(lines[-2:]))
-    save_file(pitch_map, str(root / "pitch.safetensors"))
-    save_file(align_map, str(root / "alignment.safetensors"))
+from stylish_tts_tpu.utils.synthetic import make_synthetic_dataset  # noqa: F401 (re-exported for test_cli_pipeline)
 
 
 @pytest.fixture(scope="module")
@@ -78,6 +35,8 @@ def tiny_setup(tmp_path_factory):
     mc.generator.input_dim = 128
     mc.generator.hidden_dim = 128
     mc.generator.conv_intermediate_dim = 256
+    mc.slm.layers = 2
+    mc.text_aligner.hidden_dim = 64
     return root, config, mc
 
 

@@ -90,11 +90,20 @@ def test_stage_step_runs(setup, stage):
 
 
 @pytest.mark.parametrize("stage", ["acoustic", "textual", "style", "duration",
-                                   "alignment"])
+                                   "alignment", "hubert_acoustic",
+                                   "cfm_hubert_mel", "cfm_hubert_pitch"])
 def test_eval_step_runs(setup, stage):
     from stylish_tts_tpu.train.stages import make_eval_step
 
-    ctx, state, batch, _ = setup
+    ctx, state, batch, frozen = setup
     step = jax.jit(make_eval_step(stage, ctx))
-    metrics, audio = step(state, batch, jax.random.PRNGKey(1))
+    metrics, audio = step(state, batch, jax.random.PRNGKey(1), frozen)
     assert np.isfinite(float(metrics["loss"]))
+    # stages that synthesize during validation must return finite audio —
+    # for `duration` that audio is driven by PREDICTED durations (the true
+    # end-to-end inference check, reference stage_type.py:483-523); for
+    # cfm_hubert_mel it is the Griffin-Lim-decoded CFM mel
+    if stage in ("acoustic", "textual", "style", "duration",
+                 "hubert_acoustic", "cfm_hubert_mel"):
+        assert audio is not None
+        assert np.isfinite(np.asarray(audio)).all()

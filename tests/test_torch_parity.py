@@ -826,3 +826,15 @@ def test_pe_mel_style_encoder_parity(zoo):
     )
     s_j = models["pe_mel_style_encoder"].apply(variables, jnp.asarray(mel))
     np.testing.assert_allclose(np.asarray(s_j), s_t.numpy(), atol=2e-3)
+
+
+@pytest.mark.slow
+def test_end_to_end_mel_mae():
+    """BASELINE.md parity target measured at the COMPOSED inference graph:
+    mel MAE < 1e-3 vs the torch reference through converted weights (see
+    tests/e2e_mel_mae.py; scripts/mel_mae.py publishes the number)."""
+    from e2e_mel_mae import measure_e2e_mel_mae
+
+    mel_mae, audio_mae = measure_e2e_mel_mae()
+    print(f"end-to-end mel MAE: {mel_mae:.2e}, audio MAE: {audio_mae:.2e}")
+    assert mel_mae < 1e-3, (mel_mae, audio_mae)
