@@ -6,16 +6,19 @@ import json
 import sys
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
+_root = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_root))
+sys.path.insert(0, str(_root / "tests"))
 
 from e2e_mel_mae import measure_e2e_mel_mae  # noqa: E402
 
 if __name__ == "__main__":
-    mel_mae, audio_mae = measure_e2e_mel_mae()
+    mel_mae, log_mel_mae, audio_mae = measure_e2e_mel_mae()
     print(json.dumps({
         "metric": "e2e_mel_mae_vs_torch",
         "value": mel_mae,
-        "unit": "log_mel_abs_err",
+        "unit": "log1p_mel_magnitude_abs_err",
         "target": 1e-3,
+        "log_mel_mae": log_mel_mae,
         "audio_mae": audio_mae,
     }))

@@ -98,6 +98,12 @@ class DurationPredictorConfig(BaseModel):
 class PitchEnergyPredictorConfig(BaseModel):
     inter_dim: int = 256
     dropout: float = 0.2
+    # replicate the reference's inverted cross-attention band mask (its MHA
+    # treats mask=True as allowed while the band builder emits True=blocked;
+    # see models/pitch_energy_predictor.py).  False = the corrected band
+    # semantics for fresh training; `import-torch` sets True so migrated
+    # checkpoints keep the behavior they were trained with.
+    reference_band_mask: bool = False
 
 
 class HubertConfig(BaseModel):

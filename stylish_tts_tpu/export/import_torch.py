@@ -175,6 +175,11 @@ def import_torch_checkpoint(
             "text_aligner",
             state_dicts["text_aligner"],
         )
+    # migrated checkpoints were trained under the reference's inverted
+    # cross-attention band mask — keep that behavior at inference
+    # (models/pitch_energy_predictor.py:build_monotonic_band_mask)
+    model_config = model_config.model_copy(deep=True)
+    model_config.pitch_energy_predictor.reference_band_mask = True
     (out / "model_config.json").write_text(model_config.model_dump_json())
     (out / "metadata.json").write_text(
         json.dumps(

@@ -26,18 +26,34 @@ from .text_encoder import MultiHeadAttention
 
 
 def build_monotonic_band_mask(
-    alignment: jax.Array, text_valid: jax.Array, window: int
+    alignment: jax.Array, text_valid: jax.Array, window: int,
+    reference_inverted: bool = False,
 ) -> jax.Array:
     """alignment [B, T, F], text_valid [B, T] (True where valid) ->
     allowed-mask [B, 1, F, T] (True where attention is permitted).
 
     Mirrors build_monotonic_band_mask (pitch_energy_predictor.py:194-212)
-    but returns the positive mask used by our additive-mask attention."""
+    but returns the positive mask used by our additive-mask attention.
+
+    ``reference_inverted=True`` replicates the reference's masking bug for
+    MIGRATED checkpoints: its MultiHeadAttention fills -1e4 where the mask
+    is False (text_encoder.py:255-261), yet build_monotonic_band_mask
+    documents/returns True where attention is NOT allowed — so a trained
+    reference model actually attends to the band COMPLEMENT plus padded
+    keys.  (Softmax shift-invariance makes the two agree only when a
+    query row's mask is constant, which is why unpadded full-window tests
+    can't see it.)  Checkpoints trained with the reference learned under
+    that behavior; `import-torch` flips this flag in the exported model
+    config so they keep it."""
     tau = jnp.argmax(alignment, axis=1)  # [B, F]
     t_idx = jnp.arange(alignment.shape[1])[None, None, :]  # [1, 1, T]
     tau_exp = tau[:, :, None]  # [B, F, 1]
     band = (t_idx >= tau_exp - window) & (t_idx <= tau_exp + window)
-    allowed = band & text_valid[:, None, :]
+    valid = text_valid[:, None, :]
+    if reference_inverted:
+        allowed = ~band | ~valid
+    else:
+        allowed = band & valid
     return allowed[:, None]  # [B, 1, F, T]
 
 
@@ -77,7 +93,8 @@ class PitchEnergyPredictor(nn.Module):
         key = AdaptiveLayerNorm(name="key_norm")(prosody, style)
         text_valid = sequence_mask(text_lengths, prosody.shape[1])
         allowed = build_monotonic_band_mask(
-            alignment, text_valid, self.cross_window
+            alignment, text_valid, self.cross_window,
+            reference_inverted=mc.pitch_energy_predictor.reference_band_mask,
         )
         attention = MultiHeadAttention(
             channels, channels, 8, dropout, name="cross_attention"

@@ -15,9 +15,9 @@ Determinism pins (same approach as test_speech_predictor_parity):
 z-sampling off on both sides, the stochastic PCPH harmonic prior replaced
 by one shared full-band noise wave (near-silent harmonic bins sit on the
 atan2 branch cut where 1e-7 FFT noise flips raw phase inputs by 2π), and
-the band-limited cross-attention opened to the full window (our band mask
-deliberately fixes the reference's inverted one — a documented deviation
-that would otherwise dominate the diff).
+``reference_band_mask=True`` on our side so the cross-attention replicates
+the reference's inverted band mask that a migrated checkpoint was trained
+with (see models/pitch_energy_predictor.py:build_monotonic_band_mask).
 """
 
 from __future__ import annotations
@@ -49,6 +49,9 @@ def measure_e2e_mel_mae():
     for m in ref_models.values():
         m.eval()
     mc = ModelConfig()
+    # what `import-torch` sets for migrated checkpoints (default band
+    # window on BOTH sides — production shapes, padded batch)
+    mc.pitch_energy_predictor.reference_band_mask = True
     models = build_models(mc)
 
     # perturb zero-initialised projection heads so their conversion is
@@ -90,9 +93,7 @@ def measure_e2e_mel_mae():
         for t_i in range(n):
             align[b, t_i, bounds[t_i]:bounds[t_i + 1]] = 1.0
 
-    # full cross-attention window (see module docstring)
-    ref_models["pitch_energy_predictor"].cross_window = T
-    pe = models["pitch_energy_predictor"].clone(cross_window=T)
+    pe = models["pitch_energy_predictor"]
 
     # -- determinism pins ------------------------------------------------
     import stylish_tts.train.models.generator as ref_gen_mod  # noqa: F401
@@ -173,14 +174,26 @@ def measure_e2e_mel_mae():
         my_gen_mod.generate_pcph = orig_pcph
         my_gen_mod.STFTHead.transform = orig_transform
 
+    # the reference's own "mel" domain (multi_spectrogram.py:40-55):
+    # log1p of the mel-scaled STFT MAGNITUDE — log-scaled where energy is,
+    # linear near zero, so random-weight near-silent bins don't blow up
+    # the metric the way raw log-mel does
+    to_mel_mag = MelSpectrogram(
+        n_mels=mc.n_mels, n_fft=mc.n_fft, win_length=mc.win_length,
+        hop_length=mc.hop_length, sample_rate=mc.sample_rate, power=1.0,
+    )
     to_mel = MelSpectrogram(
         n_mels=mc.n_mels, n_fft=mc.n_fft, win_length=mc.win_length,
         hop_length=mc.hop_length, sample_rate=mc.sample_rate,
     )
 
-    def norm_log_mel(a):
+    def log1p_mel(a):
+        return np.asarray(jnp.log1p(to_mel_mag(jnp.asarray(a))))
+
+    def log_mel(a):
         return np.asarray(jnp.log(1e-5 + to_mel(jnp.asarray(a))))
 
-    mel_mae = float(np.abs(norm_log_mel(audio_j) - norm_log_mel(audio_t)).mean())
+    mel_mae = float(np.abs(log1p_mel(audio_j) - log1p_mel(audio_t)).mean())
+    log_mel_mae = float(np.abs(log_mel(audio_j) - log_mel(audio_t)).mean())
     audio_mae = float(np.abs(audio_j - audio_t).mean())
-    return mel_mae, audio_mae
+    return mel_mae, log_mel_mae, audio_mae

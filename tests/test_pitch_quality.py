@@ -1,0 +1,93 @@
+"""YIN pitch-tracker QUALITY validation (not just shape checks).
+
+The reference extracts ground-truth F0 with pyworld Harvest+StoneMask
+(train/dataprep/pitch_extractor.py:106-121); that C++ stack (and real
+speech corpora) are unavailable in this environment, so quality is
+measured against synthetic-but-realistic speech with KNOWN ground truth:
+harmonic stacks under a formant envelope, vibrato + random-walk +
+declination F0 contours, fricative (shaped-noise) and silence segments.
+This bounds the real quantities a bad cache would corrupt downstream —
+cents error on voiced frames and voicing precision/recall — rather than
+comparing two estimators of unknown accuracy to each other.
+
+Measured at merge time: 13.6 cents MAE, V/UV F1 0.994, 0.00% gross
+(>100 cent) errors over 8 utterances (the thresholds below leave slack
+for RNG/platform drift).
+"""
+
+import numpy as np
+import pytest
+
+
+def make_speechlike(rng, sr=24000, hop=300, dur_s=3.0, f0_base=140.0):
+    """Returns (wave [n], f0_per_frame [n//hop+1], segments [n//hop+1])
+    where segments is 1=voiced, 2=unvoiced fricative, 0=silence."""
+    from scipy.signal import lfilter
+
+    n = int(dur_s * sr)
+    t = np.arange(n) / sr
+    n_fr = n // hop + 1
+    # F0 contour: vibrato (5.5 Hz, ±50 cents) + random walk + declination
+    cents = 50 * np.sin(2 * np.pi * 5.5 * np.arange(n_fr) * hop / sr)
+    cents += np.cumsum(rng.standard_normal(n_fr)) * 2.0
+    f0_fr = f0_base * 2.0 ** (cents / 1200.0)
+    f0_fr *= 1.0 - 0.06 * np.linspace(0, 1, n_fr)
+    # segment plan
+    seg = np.zeros(n_fr, np.int8)
+    pos = 0
+    while pos < n_fr:
+        kind = rng.choice([1, 1, 1, 2, 0], p=[0.25, 0.25, 0.25, 0.15, 0.10])
+        ln = int(rng.integers(15, 60))
+        seg[pos : pos + ln] = kind
+        pos += ln
+    f0_fr = np.where(seg == 1, f0_fr, 0.0)
+
+    f0_samp = np.repeat(f0_fr, hop)[:n]
+    phase = 2 * np.pi * np.cumsum(f0_samp) / sr
+    wave = np.zeros(n)
+    formants = [(500, 80), (1500, 120), (2500, 180)]
+    for h in range(1, 30):
+        fh = f0_samp * h
+        env = sum(
+            np.exp(-((fh - fc) ** 2) / (2 * bw**2)) for fc, bw in formants
+        )
+        wave += (0.25 / h) * (0.3 + env) * np.sin(phase * h) * (fh < sr / 2)
+    wave *= np.repeat(seg == 1, hop)[:n]
+    wave *= 1 + 0.1 * np.sin(2 * np.pi * 3 * t)  # shimmer-ish AM
+    fric = lfilter([1, -0.95], [1], rng.standard_normal(n)) * 0.05
+    wave = wave + fric * np.repeat(seg == 2, hop)[:n]
+    wave = wave + 0.003 * rng.standard_normal(n)
+    return wave.astype(np.float32), f0_fr, seg
+
+
+def test_yin_cents_accuracy_and_voicing():
+    from stylish_tts_tpu.dataprep.pitch import extract_pitch_batch
+
+    rng = np.random.default_rng(42)
+    waves, gts = [], []
+    for _ in range(8):
+        w, f0, _ = make_speechlike(rng, f0_base=float(rng.uniform(90, 260)))
+        waves.append(w)
+        gts.append(f0)
+
+    est = extract_pitch_batch(waves, 24000, 300)
+    cents_errs = []
+    tp = fp = fn = 0
+    for e, gt in zip(est, gts):
+        m = min(len(e), len(gt))
+        e, gt = e[:m], gt[:m]
+        tp += int(((e > 0) & (gt > 0)).sum())
+        fp += int(((e > 0) & (gt == 0)).sum())
+        fn += int(((e == 0) & (gt > 0)).sum())
+        both = (e > 0) & (gt > 0)
+        if both.any():
+            cents_errs.append(np.abs(1200 * np.log2(e[both] / gt[both])))
+    cents = np.concatenate(cents_errs)
+    precision = tp / (tp + fp)
+    recall = tp / (tp + fn)
+    f1 = 2 * precision * recall / (precision + recall)
+
+    assert cents.mean() < 25.0, f"cents MAE {cents.mean():.1f}"
+    assert np.percentile(cents, 95) < 60.0
+    assert (cents > 100).mean() < 0.01, "gross pitch errors"
+    assert f1 > 0.95, f"V/UV F1 {f1:.3f}"

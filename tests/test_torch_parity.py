@@ -835,6 +835,11 @@ def test_end_to_end_mel_mae():
     tests/e2e_mel_mae.py; scripts/mel_mae.py publishes the number)."""
     from e2e_mel_mae import measure_e2e_mel_mae
 
-    mel_mae, audio_mae = measure_e2e_mel_mae()
-    print(f"end-to-end mel MAE: {mel_mae:.2e}, audio MAE: {audio_mae:.2e}")
-    assert mel_mae < 1e-3, (mel_mae, audio_mae)
+    mel_mae, log_mel_mae, audio_mae = measure_e2e_mel_mae()
+    print(
+        f"end-to-end mel MAE (log1p-mel-magnitude, the reference's mel-loss "
+        f"domain): {mel_mae:.2e}; raw log-mel MAE: {log_mel_mae:.2e}; "
+        f"audio MAE: {audio_mae:.2e}"
+    )
+    assert mel_mae < 1e-3, (mel_mae, log_mel_mae, audio_mae)
+    assert audio_mae < 1e-3, audio_mae
