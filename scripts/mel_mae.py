@@ -6,6 +6,12 @@ import json
 import sys
 from pathlib import Path
 
+import jax
+
+# parity vs torch-CPU is a CPU measurement; the container's sitecustomize
+# pins the remote TPU backend unless overridden here (env var is ignored)
+jax.config.update("jax_platforms", "cpu")
+
 _root = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(_root))
 sys.path.insert(0, str(_root / "tests"))

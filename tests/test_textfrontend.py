@@ -97,6 +97,42 @@ class TestHomographs:
         assert h.resolve("read", ["had"], []) == "ɹɛd"
         assert h.resolve("read", ["to"], []) == "ɹiːd"
 
+    def test_ate_heteronyms(self):
+        from stylish_tts_tpu.textfrontend.homographs import Homographs
+
+        h = Homographs()
+        # noun/adjective /ət/ vs verb /eɪt/
+        assert h.resolve("separate", ["a"], ["room"]) == "sˈɛpəɹət"
+        assert h.resolve("separate", ["to"], ["the", "eggs"]).endswith("eɪt")
+        assert h.resolve("graduate", ["a"], ["student"]) == "ˈɡɹædʒuət"
+        assert h.resolve("graduate", ["will"], []).endswith("eɪt")
+
+    def test_inflected_forms(self):
+        from stylish_tts_tpu.textfrontend.homographs import Homographs
+
+        h = Homographs()
+        # -ed / -ing morphology forces the verb reading + voicing rules
+        assert h.resolve("recorded", [], []) == "ɹɪkˈoːɹdɪd"
+        assert h.resolve("recording", [], []) == "ɹɪkˈoːɹdɪŋ"
+        assert h.resolve("used", [], []) == "juːzd"
+        assert h.resolve("closing", [], []) == "kloʊzɪŋ"
+        # plural/3sg resolves POS then voices the -s
+        assert h.resolve("records", ["the"], []) == "ɹˈɛkɚdz"
+        assert h.resolve("uses", ["she"], ["it"]) == "juːzəz"
+        assert h.resolve("lives", ["their"], []) == "laɪvz"
+        assert h.resolve("lives", ["she"], ["in"]) == "lɪvz"
+
+    def test_lexicon_symbols_in_inventory(self):
+        from stylish_tts_tpu.textfrontend.homographs import HOMOGRAPHS
+
+        cleaner = TextCleaner(SymbolConfig())
+        for word, (noun, verb) in HOMOGRAPHS.items():
+            for ipa in (noun, verb):
+                unknown = [
+                    c for c in ipa if c not in cleaner.word_index_dictionary
+                ]
+                assert unknown == [], f"{word}: unknown symbols {unknown}"
+
     def test_g2p_integration(self):
         from stylish_tts_tpu.textfrontend import G2P
 
