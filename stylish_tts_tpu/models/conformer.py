@@ -57,7 +57,7 @@ class _Attention(nn.Module):
         probs = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum(
             "bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32
-        )
+        ).astype(v.dtype)  # f32 accumulation, activation-dtype result
         out = out.transpose(0, 2, 1, 3).reshape(b, t, inner)
         out = nn.Dense(self.dim, name="to_out")(out)
         return nn.Dropout(self.dropout, deterministic=not train)(out)

@@ -24,8 +24,11 @@ class GRN(nn.Module):
         c = x.shape[-1]
         gamma = self.param("gamma", nn.initializers.zeros, (1, 1, c))
         beta = self.param("beta", nn.initializers.zeros, (1, 1, c))
-        gx = jnp.sqrt(jnp.sum(x * x, axis=1, keepdims=True))
-        nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + 1e-6)
+        xf = x.astype(jnp.float32)  # L2-over-time accumulates in f32
+        gx = jnp.sqrt(jnp.sum(xf * xf, axis=1, keepdims=True))
+        nx = (gx / (jnp.mean(gx, axis=-1, keepdims=True) + 1e-6)).astype(
+            x.dtype
+        )
         return gamma * (x * nx) + beta + x
 
 

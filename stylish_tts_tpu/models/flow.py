@@ -206,7 +206,9 @@ class PriorEncoder(nn.Module):
             name="proj_logstd",
         )(x)
         if sample:
-            noise = jax.random.normal(self.make_rng("sample"), mean.shape)
+            noise = jax.random.normal(
+                self.make_rng("sample"), mean.shape, mean.dtype
+            )
         else:
             noise = jnp.zeros_like(mean)
         return mean + noise * jnp.exp(logstd), mean, logstd
@@ -242,8 +244,11 @@ class PosteriorEncoder(nn.Module):
         )
         mag = jnp.abs(jax.lax.complex(real, imag)) + 1e-9
         phase = jnp.arctan2(imag, real)
-        mag = mag[:, :-1]      # drop trailing frame: F frames at hop/4
-        phase = phase[:, :-1]
+        # the STFT runs f32 (ops/stft.py); return to the activation dtype
+        # so bf16 mixed precision survives into the WaveNet below
+        act_dtype = cond.dtype if cond is not None else audio.dtype
+        mag = mag[:, :-1].astype(act_dtype)   # drop trailing frame
+        phase = phase[:, :-1].astype(act_dtype)
         h = self.hidden_channels
         x = jnp.concatenate(
             [
@@ -272,7 +277,9 @@ class PosteriorEncoder(nn.Module):
             name="proj_logstd",
         )(x)
         if sample:
-            noise = jax.random.normal(self.make_rng("sample"), mean.shape)
+            noise = jax.random.normal(
+                self.make_rng("sample"), mean.shape, mean.dtype
+            )
         else:
             noise = jnp.zeros_like(mean)
         return mean + noise * jnp.exp(logstd), mean, logstd

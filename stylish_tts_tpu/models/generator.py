@@ -53,7 +53,13 @@ def generate_pcph(
     random_init_phase: bool = True,
     power_factor: float = 0.1,
 ) -> jax.Array:
-    """Pseudo-constant-power harmonic waveform [B, F * hop_length]."""
+    """Pseudo-constant-power harmonic waveform [B, F * hop_length].
+
+    Always computed in f32: the frame-level phase cumsum is exact in f32
+    (module docstring) but NOT in bf16, where rounding over hundreds of
+    frames would detune every harmonic."""
+    f0 = f0.astype(jnp.float32)
+    voiced = voiced.astype(jnp.float32)
     b, frames = f0.shape
     n_samples = frames * hop_length
     k_noise, k_phase = jax.random.split(rng)
@@ -127,8 +133,9 @@ class Generator(nn.Module):
         prior = jax.lax.stop_gradient(prior)
         har_mag, har_cos, har_sin = stft_head.transform(prior)
         har_phase = jnp.arctan2(har_sin, har_cos)
-        har_mag = har_mag[:, :-1]      # drop trailing frame -> F frames
-        har_phase = har_phase[:, :-1]
+        # back to the activation dtype after the f32 prior/STFT chain
+        har_mag = har_mag[:, :-1].astype(mel.dtype)
+        har_phase = har_phase[:, :-1].astype(mel.dtype)
 
         logamp_prior = Conv1d(gc.hidden_dim // 2, 7, name="amp_prior_conv")(
             har_mag

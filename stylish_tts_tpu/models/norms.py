@@ -16,6 +16,15 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+def _moments(x: jax.Array, axis) -> tuple:
+    """mean/var in f32 regardless of input dtype (mixed-precision safety:
+    bf16 sums over hundreds of elements lose ~2 decimal digits)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=axis, keepdims=True)
+    var = jnp.mean((xf - mean) ** 2, axis=axis, keepdims=True)
+    return mean, var
+
+
 class ChannelLayerNorm(nn.Module):
     """LayerNorm over the channel (last) axis with learned affine.
 
@@ -29,9 +38,8 @@ class ChannelLayerNorm(nn.Module):
         c = x.shape[-1]
         gamma = self.param("gamma", nn.initializers.ones, (c,))
         beta = self.param("beta", nn.initializers.zeros, (c,))
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
-        x = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        mean, var = _moments(x, -1)
+        x = ((x - mean) * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
         return x * gamma + beta
 
 
@@ -51,9 +59,8 @@ class AdaptiveLayerNorm(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, style: jax.Array) -> jax.Array:
         gamma, beta = _style_affine(style, x.shape[-1])
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
-        x = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        mean, var = _moments(x, -1)
+        x = ((x - mean) * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
         return (1.0 + gamma) * x + beta
 
 
@@ -66,9 +73,8 @@ class AdaptiveInstanceNorm(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, style: jax.Array) -> jax.Array:
         gamma, beta = _style_affine(style, x.shape[-1])
-        mean = jnp.mean(x, axis=1, keepdims=True)
-        var = jnp.var(x, axis=1, keepdims=True)
-        x = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        mean, var = _moments(x, 1)
+        x = ((x - mean) * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
         return (1.0 + gamma) * x + beta
 
 

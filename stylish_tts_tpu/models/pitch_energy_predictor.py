@@ -88,7 +88,7 @@ class PitchEnergyPredictor(nn.Module):
         base = jnp.einsum(
             "btc,btf->bfc", prosody, alignment,
             preferred_element_type=jnp.float32,
-        )
+        ).astype(prosody.dtype)
         query = AdaptiveLayerNorm(name="query_norm")(base, style)
         key = AdaptiveLayerNorm(name="key_norm")(prosody, style)
         text_valid = sequence_mask(text_lengths, prosody.shape[1])

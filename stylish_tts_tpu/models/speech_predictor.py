@@ -31,7 +31,7 @@ def upsample_x4_linear(x: jax.Array) -> jax.Array:
     pos = (jnp.arange(4 * f, dtype=jnp.float32) + 0.5) / 4.0 - 0.5
     lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, f - 1)
     hi = jnp.clip(lo + 1, 0, f - 1)
-    w = jnp.clip(pos - lo, 0.0, 1.0)
+    w = jnp.clip(pos - lo, 0.0, 1.0).astype(x.dtype)
     return x[:, lo] * (1.0 - w) + x[:, hi] * w
 
 
@@ -84,7 +84,7 @@ class SpeechPredictor(nn.Module):
         asr = jnp.einsum(
             "btc,btf->bfc", text_encoding, alignment4,
             preferred_element_type=jnp.float32,
-        )
+        ).astype(text_encoding.dtype)
         x = Decoder(
             hidden_dim=mc.decoder.hidden_dim,
             residual_dim=mc.decoder.residual_dim,

@@ -37,8 +37,10 @@ def apply_rope(x: jax.Array, rope_dims: int) -> jax.Array:
     )
     angles = jnp.arange(t, dtype=jnp.float32)[:, None] * theta[None, :]
     angles = jnp.concatenate([angles, angles], axis=-1)  # [T, d]
-    cos = jnp.cos(angles)[None, None]
-    sin = jnp.sin(angles)[None, None]
+    # tables computed in f32, applied in the activation dtype (keeps the
+    # bf16 mixed-precision path from promoting q/k back to f32)
+    cos = jnp.cos(angles)[None, None].astype(x.dtype)
+    sin = jnp.sin(angles)[None, None].astype(x.dtype)
     neg_half = jnp.concatenate([-x_rope[..., half:], x_rope[..., :half]], -1)
     return jnp.concatenate([x_rope * cos + neg_half * sin, x_pass], axis=-1)
 
@@ -84,7 +86,7 @@ class MultiHeadAttention(nn.Module):
         probs = nn.Dropout(self.dropout, deterministic=not train)(probs)
         out = jnp.einsum(
             "bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32
-        )
+        ).astype(v.dtype)  # f32 accumulation, activation-dtype result
         b, _, t, _ = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, t, self.channels)
         return nn.Dense(self.out_channels, name="out")(out)

@@ -145,7 +145,7 @@ class _SelfAttention(nn.Module):
         probs = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum(
             "bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32
-        )
+        ).astype(v.dtype)  # f32 accumulation, activation-dtype result
         out = out.transpose(0, 2, 1, 3).reshape(b, t, self.dim)
         return nn.Dense(self.dim, name="out")(out)
 
@@ -179,7 +179,7 @@ class _CrossAttention(nn.Module):
         probs = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum(
             "bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32
-        )
+        ).astype(v.dtype)  # f32 accumulation, activation-dtype result
         out = out.transpose(0, 2, 1, 3).reshape(b, t, self.dim)
         return nn.Dense(self.dim, name="out")(out)
 

@@ -34,6 +34,35 @@ from .loss_log import backwards_loss, weighted_total
 from .optim import apply_updates, cosine_logical_lr
 from .state import TrainState
 
+# Modules whose numerics must stay f32 even under mixed precision: the
+# CTC chain needs full-precision log-probs (the reference's autocast also
+# keeps log_softmax in f32).
+MIXED_PRECISION_EXEMPT = frozenset({"text_aligner"})
+
+
+def _interp_frames(x: jax.Array, n_out: int) -> jax.Array:
+    """Linear resample [B, F_in] -> [B, n_out] along the frame axis
+    (hop-rate conversion for cross-frame-grid conditioning)."""
+    f_in = x.shape[1]
+    pos = jnp.arange(n_out) * (f_in / n_out)
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, f_in - 1)
+    hi = jnp.clip(lo + 1, 0, f_in - 1)
+    w = (pos - lo).astype(x.dtype)
+    return x[:, lo] * (1.0 - w) + x[:, hi] * w
+
+
+def cast_floats(tree, dtype):
+    """Cast every floating-point array leaf of a pytree to ``dtype``;
+    integer/bool leaves and non-arrays pass through untouched."""
+    def _cast(a):
+        if isinstance(a, (jax.Array, jnp.ndarray)) and jnp.issubdtype(
+            a.dtype, jnp.floating
+        ):
+            return a.astype(dtype)
+        return a
+
+    return jax.tree_util.tree_map(_cast, tree)
+
 
 @dataclass
 class StageContext:
@@ -54,6 +83,7 @@ class StageContext:
     # a per-trace copy of the context (tracers are fine to close over).
     slm_params: Any = None                # frozen SLM feature extractor params
     ssl_params: Any = None                # frozen (hubert, speaker) params
+    vocos_params: Any = None              # frozen Vocos decoder (eval audition)
     f0_log2_mean: float = 7.0
     f0_log2_std: float = 1.0
 
@@ -83,18 +113,44 @@ class StageContext:
             hidden_dim=mc.speaker_embedder.hidden_dim,
         )
         self.weights = self.config.loss_weight.model_dump()
+        # bf16 mixed precision (reference trains under Accelerate bf16
+        # autocast, train/cli.py:290-299): module forwards run in bf16 with
+        # f32 master weights; the spectral chain (ops/stft.py), loss
+        # accumulation and the optimizer stay f32.  apply()/apply_auto()
+        # cast params+inputs down and outputs back up per module.
+        self.compute_dtype = (
+            jnp.bfloat16
+            if self.config.training.mixed_precision == "bf16"
+            else jnp.float32
+        )
 
     # -- convenience wrappers ------------------------------------------- #
 
     def apply(self, key, params, batch_stats, *args, rngs=None,
               mutable=False, **kwargs):
-        variables = {"params": params[key]}
+        mixed = (
+            self.compute_dtype == jnp.bfloat16
+            and key not in MIXED_PRECISION_EXEMPT
+        )
+        p = params[key]
+        if mixed:
+            # bf16 compute with f32 master weights: the astype transpose
+            # returns f32 gradients, so the optimizer update is untouched
+            p = cast_floats(p, jnp.bfloat16)
+            args = cast_floats(args, jnp.bfloat16)
+        variables = {"params": p}
         if batch_stats and key in batch_stats:
+            # running stats stay f32 (flax norm layers compute statistics
+            # in f32 regardless of input dtype)
             variables["batch_stats"] = batch_stats[key]
         out = self.models[key].apply(
             variables, *args, rngs=rngs,
             mutable=["batch_stats"] if mutable else False, **kwargs,
         )
+        if mixed:
+            # losses and inter-module glue accumulate in f32; stored
+            # batch_stats collections keep f32 across steps
+            out = cast_floats(out, jnp.float32)
         return out
 
     def apply_auto(self, key, params, batch_stats, *args, rngs=None,
@@ -145,6 +201,27 @@ class StageContext:
             log_norm_energy(mel, self.mel_mean, self.mel_std)
         )
         return mel, mel_length, energy
+
+    def cfm_mel_features(self, audio_gt, pitch):
+        """(normed mel, energy, pitch-at-mel-frames) in the configured CFM
+        feature space (model_config.cfm_mel_features).
+
+        "vocos" targets the pretrained Vocos 100-bin / hop-256 features the
+        reference's cfm stage extracts (stage_type.py:707,732), normalised
+        by the same dataset stats; pitch (hop_length frames) is linearly
+        resampled onto the vocos frame grid — the reference passes the
+        hop-300 pitch through unresampled, a ~17 % time-scale mismatch we
+        do not reproduce."""
+        if self.model_config.cfm_mel_features == "vocos":
+            from ..models.vocos import vocos_mel
+
+            mel = (vocos_mel(audio_gt) - self.mel_mean) / self.mel_std
+            energy = jax.lax.stop_gradient(
+                log_norm_energy(mel, self.mel_mean, self.mel_std)
+            )
+            return mel, energy, _interp_frames(pitch, mel.shape[1])
+        mel, _, energy = self.mel_and_energy(audio_gt)
+        return mel, energy, pitch[:, : mel.shape[1]]
 
     def ssl_features(self, audio_gt, time_dim):
         """Frozen HuBERT phone features + speaker embedding
@@ -457,7 +534,9 @@ def _hubert_acoustic_losses(ctx, params, batch_stats, batch, rngs, state):
 
 
 def _cfm_mel_losses(ctx, params, batch_stats, batch, rngs, state):
-    mel, _, energy = ctx.mel_and_energy(batch["audio_gt"])
+    mel, energy, pitch = ctx.cfm_mel_features(
+        batch["audio_gt"], batch["pitch"]
+    )
     phones, spk_emb = ctx.ssl_features(batch["audio_gt"], mel.shape[1])
 
     def estimator(x, t, **conds):
@@ -469,7 +548,7 @@ def _cfm_mel_losses(ctx, params, batch_stats, batch, rngs, state):
     sampler = CfmSampler(estimator, non_drop_conds=["spk_emb"])
     pred, target = sampler.compute_pred_target(
         rngs["sample"], mel,
-        asr=phones, f0=batch["pitch"][:, : mel.shape[1]], energy=energy,
+        asr=phones, f0=pitch, energy=energy,
         spk_emb=spk_emb,
     )
     return {"mel_l2": jnp.mean((pred - target) ** 2)}, None, {}
@@ -626,6 +705,7 @@ def make_train_step(stage_name: str, ctx: StageContext, base_lr: float):
                 ctx,
                 slm_params=frozen.get("slm", ctx.slm_params),
                 ssl_params=frozen.get("ssl", ctx.ssl_params),
+                vocos_params=frozen.get("vocos", ctx.vocos_params),
             )
         rng_d, rng_s = jax.random.split(rng)
         rngs = {"dropout": rng_d, "sample": rng_s}
@@ -767,6 +847,7 @@ def make_eval_step(stage_name: str, ctx: StageContext):
                 ctx,
                 slm_params=frozen.get("slm", ctx.slm_params),
                 ssl_params=frozen.get("ssl", ctx.ssl_params),
+                vocos_params=frozen.get("vocos", ctx.vocos_params),
             )
         rngs = {"dropout": rng, "sample": rng}
         params = state.params
@@ -911,9 +992,11 @@ def make_eval_step(stage_name: str, ctx: StageContext):
         elif stage_name == "cfm_hubert_mel":
             # reference validate_cfm_mel (stage_type.py:747-760): solve the
             # CFM ODE from noise, compare mels, and audition the result —
-            # via Griffin-Lim here (weight-free Vocos substitute, see
-            # ops/griffin_lim.py)
-            mel, _, energy = sctx.mel_and_energy(batch["audio_gt"])
+            # with converted Vocos weights when provided (the reference's
+            # decoder, train_context.py:179-183), Griffin-Lim otherwise
+            mel, energy, pitch = sctx.cfm_mel_features(
+                batch["audio_gt"], batch["pitch"]
+            )
             phones, spk_emb = sctx.ssl_features(batch["audio_gt"], mel.shape[1])
 
             def estimator(x, t, **conds):
@@ -926,21 +1009,39 @@ def make_eval_step(stage_name: str, ctx: StageContext):
             z = jax.random.normal(rng, mel.shape, mel.dtype)
             mel_pred = sampler.sample(
                 z, n_timesteps=16,
-                asr=phones, f0=batch["pitch"][:, : mel.shape[1]],
+                asr=phones, f0=pitch,
                 energy=energy, spk_emb=spk_emb,
             )
             metrics = {
                 "mel_l2": jnp.mean((mel_pred - mel) ** 2),
                 "mel_l1": jnp.mean(jnp.abs(mel_pred - mel)),
             }
-            from ..ops.griffin_lim import mel_to_audio
-
             mc = sctx.model_config
-            audio_pred = mel_to_audio(
-                mel_pred, sample_rate=mc.sample_rate, n_fft=mc.n_fft,
-                win_length=mc.win_length, hop_length=mc.hop_length,
-                mean=sctx.mel_mean, std=sctx.mel_std, rng=rng,
+            use_vocos = (
+                mc.cfm_mel_features == "vocos"
+                and sctx.vocos_params is not None
             )
+            if use_vocos:
+                from ..models.vocos import Vocos
+
+                audio_pred = Vocos().apply(
+                    {"params": sctx.vocos_params},
+                    mel_pred * sctx.mel_std + sctx.mel_mean,
+                )
+            else:
+                from ..models.vocos import VOCOS_HOP, VOCOS_N_FFT
+                from ..ops.griffin_lim import mel_to_audio
+
+                if mc.cfm_mel_features == "vocos":
+                    gl = dict(n_fft=VOCOS_N_FFT, win_length=VOCOS_N_FFT,
+                              hop_length=VOCOS_HOP, power=1.0)
+                else:
+                    gl = dict(n_fft=mc.n_fft, win_length=mc.win_length,
+                              hop_length=mc.hop_length)
+                audio_pred = mel_to_audio(
+                    mel_pred, sample_rate=mc.sample_rate,
+                    mean=sctx.mel_mean, std=sctx.mel_std, rng=rng, **gl,
+                )
         elif stage_name == "cfm_hubert_pitch":
             mel, _, _ = sctx.mel_and_energy(batch["audio_gt"])
             phones, _ = sctx.ssl_features(
