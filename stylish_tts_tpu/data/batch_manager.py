@@ -200,8 +200,12 @@ class BatchManager:
             seed=seed,
             epoch=epoch,
         )
-        rng = np.random.default_rng(seed * 100003 + epoch)
-        plan = list(sampler)
+        # jitter rng is seeded per (epoch, batch index) below, NOT drawn
+        # sequentially from one stream: a resumed epoch must produce the
+        # exact batches the uninterrupted run would have (skipping plan
+        # entries must not shift the jitter stream)
+        epoch_seed = seed * 100003 + epoch
+        plan = list(enumerate(sampler))
         if skip_batches:
             plan = plan[skip_batches:]
 
@@ -213,7 +217,7 @@ class BatchManager:
 
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
-                    for bin_num, idxs in plan:
+                    for batch_index, (bin_num, idxs) in plan:
                         if stop.is_set():
                             break
                         # wrap-pad so the global batch shards evenly over
@@ -234,7 +238,11 @@ class BatchManager:
                         ]
                         items = list(pool.map(self.dataset.load_item, local))
                         batch = collate(
-                            items, stage=stage, rng=rng, jitter=jitter
+                            items, stage=stage,
+                            rng=np.random.default_rng(
+                                epoch_seed * 1000003 + batch_index
+                            ),
+                            jitter=jitter,
                         )
                         batch["bin"] = bin_num
                         batch["global_batch_size"] = global_bs

@@ -58,6 +58,7 @@ def save_checkpoint(
     normalization: NormalizationStats,
     config_json: str,
     model_config_json: str,
+    rng_key=None,
 ) -> Path:
     path = Path(out_dir) / name
     path.parent.mkdir(parents=True, exist_ok=True)
@@ -71,6 +72,11 @@ def save_checkpoint(
         "config": json.loads(config_json),
         "model_config": json.loads(model_config_json),
     }
+    if rng_key is not None:
+        # snapshot the host PRNG stream so resume replays the run the
+        # uninterrupted process would have produced (the reference saves
+        # RNG via accelerator.save_state, train/train.py:433-449)
+        meta["rng_key"] = np.asarray(rng_key).tolist()
     (path / "meta.json").write_text(json.dumps(meta))
     return path
 

@@ -52,6 +52,7 @@ from .init import (
     init_model_variables,
     init_slm_params,
     init_ssl_params,
+    init_vocos_params,
 )
 from .loss_log import combine_metrics, format_metrics
 from .stages import (
@@ -301,9 +302,13 @@ def train_model(
         state = seed_state_from_torch(state, init_torch)
 
     if checkpoint:
-        state, ctx.manifest, ctx.normalization, _ = load_checkpoint(
+        state, ctx.manifest, ctx.normalization, ckpt_meta = load_checkpoint(
             checkpoint, state
         )
+        if ckpt_meta.get("rng_key") is not None:
+            # resume the interrupted run's PRNG stream (z-sampling, dropout,
+            # PCPH phase) instead of replaying from PRNGKey(0)
+            rng = jnp.asarray(ckpt_meta["rng_key"], jnp.uint32)
         # keep the full restored tree host-side; each stage transfers only
         # its restricted view to the device (see restrict_state)
         state = jax.device_get(state)
@@ -344,6 +349,12 @@ def train_model(
             "ssl": (
                 init_ssl_params(jax.random.PRNGKey(11), model_config)
                 if needs_ssl else None
+            ),
+            "vocos": (
+                init_vocos_params(
+                    jax.random.PRNGKey(13), config.training.vocos_weights
+                )
+                if current == "cfm_hubert_mel" else None
             ),
         }
         stage_ctx = StageContext(
@@ -404,16 +415,28 @@ def train_model(
             ctx.val_dataset, config.validation.sample_count
         )
 
-        state = state.replace(step=jnp.zeros((), jnp.int32))
-        logs = []
-        start_epoch = ctx.manifest.current_epoch if ctx.manifest.stage == current else 0
-        ctx.manifest.stage = current
-        done = False
-        resume_skip = (
-            ctx.manifest.current_step % max(steps_per_epoch, 1)
+        # stage-local step drives the cosine LR: resume mid-stage continues
+        # from the saved step so the schedule matches the uninterrupted run
+        stage_step = (
+            ctx.manifest.current_step
             if checkpoint and ctx.manifest.stage == current
             else 0
         )
+        state = state.replace(step=jnp.asarray(stage_step, jnp.int32))
+        logs = []
+        # resume position derived from the step count: epoch index =
+        # completed full epochs, skip = steps already taken in the epoch
+        # in progress.  (current_epoch is 1-based and bumped at epoch
+        # START, so using it directly would skip the interrupted epoch's
+        # remaining batches.)
+        if checkpoint and ctx.manifest.stage == current:
+            start_epoch = ctx.manifest.current_step // max(steps_per_epoch, 1)
+            resume_skip = ctx.manifest.current_step % max(steps_per_epoch, 1)
+        else:
+            start_epoch = 0
+            resume_skip = 0
+        ctx.manifest.stage = current
+        done = False
         for epoch in range(start_epoch, plan.epochs):
             ctx.manifest.current_epoch = epoch + 1
             iterator = ctx.batch_manager.epoch_iterator(
@@ -477,7 +500,7 @@ def train_model(
                 if step % config.training.save_interval == 0 and main_process:
                     _save(
                         ctx, merge_state(full_state, state), config,
-                        model_config,
+                        model_config, rng=rng,
                     )
                 if max_steps and ctx.manifest.current_total_step >= max_steps:
                     done = True
@@ -494,7 +517,7 @@ def train_model(
                 state.params["text_aligner"],
             )
         if main_process:
-            _save(ctx, state, config, model_config, final=True)
+            _save(ctx, state, config, model_config, final=True, rng=rng)
         if done:
             break
         current = STAGES[current].next_stage
@@ -592,7 +615,7 @@ def _validate(
             ctx.writer.add_scalar(f"eval/{k}", v, step)
 
 
-def _save(ctx, state, config, model_config, final=False):
+def _save(ctx, state, config, model_config, final=False, rng=None):
     name = (
         "checkpoint_final"
         if final
@@ -603,5 +626,6 @@ def _save(ctx, state, config, model_config, final=False):
     save_checkpoint(
         ctx.out_dir, name, state, ctx.manifest, ctx.normalization,
         config.model_dump_json(), model_config.model_dump_json(),
+        rng_key=rng,
     )
     logger.info("saved %s", ctx.out_dir / name)

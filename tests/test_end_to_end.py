@@ -101,6 +101,59 @@ def test_duration_stage_and_inference(tiny_setup, tmp_path):
     assert np.asarray(dev_audio).shape[0] == 2 and len(totals) == 2
 
 
+def test_resume_replays_uninterrupted_stream(tiny_setup, tmp_path):
+    """Checkpoint/resume determinism incl. the PRNG stream: train 4 steps
+    straight == train 2, save, resume 2 (the checkpoint stores the host
+    RNG key; reference parity via accelerator.save_state,
+    train/train.py:433-449)."""
+    import jax
+
+    from stylish_tts_tpu.train.checkpoint import load_checkpoint
+    from stylish_tts_tpu.train.init import (
+        build_train_state,
+        init_model_variables,
+    )
+    from stylish_tts_tpu.models import build_models
+    from stylish_tts_tpu.train.loop import train_model
+
+    root, config, mc = tiny_setup
+
+    out_a = tmp_path / "straight"
+    train_model(
+        config=config, model_config=mc, out_dir=str(out_a),
+        stage_name="duration", max_steps=4,
+    )
+    out_b = tmp_path / "interrupted"
+    train_model(
+        config=config, model_config=mc, out_dir=str(out_b),
+        stage_name="duration", max_steps=2,
+    )
+    train_model(
+        config=config, model_config=mc, out_dir=str(out_b),
+        stage_name="duration", max_steps=4,
+        checkpoint=str(out_b / "duration" / "checkpoint_final"),
+    )
+
+    models = build_models(mc)
+    template = build_train_state(
+        init_model_variables(models, mc, jax.random.PRNGKey(0)), mc
+    )
+    state_a, man_a, _, meta_a = load_checkpoint(
+        out_a / "duration" / "checkpoint_final", template
+    )
+    state_b, man_b, _, meta_b = load_checkpoint(
+        out_b / "duration" / "checkpoint_final", template
+    )
+    assert man_a.current_step == man_b.current_step == 4
+    assert meta_a.get("rng_key") == meta_b.get("rng_key") is not None
+    leaves_a = jax.tree_util.tree_leaves(state_a.params["duration_predictor"])
+    leaves_b = jax.tree_util.tree_leaves(state_b.params["duration_predictor"])
+    for a, b in zip(leaves_a, leaves_b):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=0
+        )
+
+
 def test_aot_memory_plan_refines_batch_sizes(tiny_setup, tmp_path):
     """training.aot_memory_plan=True routes stage start through
     BatchManager.refine_plan_aot: XLA memory analysis of the compiled step
