@@ -169,6 +169,18 @@ _OBJECT_NEXT = {
 _PAST_CUES = {"had", "has", "have", "was", "were", "been", "already",
               "yesterday", "just"}
 
+# Tense-pair stems whose -ed/-ing form belongs to the *noun/adjective*
+# column, because the verb column holds a different lexeme's form:
+# 'wounded' is to-wound (/wuːnd/), not the past of to-wind (/waʊnd/);
+# 'leaded' (glass, gasoline) is /lɛdɪd/; 'winded' (out of breath) is
+# /wɪndɪd/.  The forced-verb inflection rule must not apply to these.
+_TENSE_PAIR_INFLECTIONS: Dict[Tuple[str, str], int] = {
+    ("wound", "ed"): 0,
+    ("wound", "ing"): 0,
+    ("lead", "ed"): 0,
+    ("wind", "ed"): 0,
+}
+
 _VOICELESS = set("ptkfθsʃtʃ")
 
 
@@ -252,15 +264,29 @@ class Homographs:
         if stem is None:
             return None
         noun_ipa, verb_ipa = HOMOGRAPHS[stem]
+        if stem == "house" and suffix == "s":
+            # irregular stem voicing: plural noun AND 3sg verb are /haʊzəz/
+            return "haʊzəz"
         if suffix in ("ed", "ing"):
-            # the morphology itself disambiguates: only verbs inflect
-            ipa = verb_ipa
+            # the morphology itself disambiguates: only verbs inflect —
+            # except the tense-pair stems, where the inflected form is the
+            # OTHER column's lexeme (wounded, leaded, winded)
+            col = _TENSE_PAIR_INFLECTIONS.get((stem, suffix), 1)
+            ipa = (noun_ipa, verb_ipa)[col]
         elif self.classifier is not None:
             ipa = (noun_ipa, verb_ipa)[int(self.classifier(stem, left, right))]
         elif stem == "read":
-            # tense, not POS: past /ɹɛd/ vs present /ɹiːd/
-            prev = [w.lower() for w in left[-2:]]
-            ipa = noun_ipa if any(w in _PAST_CUES for w in prev) else verb_ipa
+            # tense, not POS: past /ɹɛd/ vs present /ɹiːd/.  A 3sg '-s'
+            # grammatically excludes past tense, so 'reads' is always
+            # present regardless of past cues in context.
+            if suffix == "s":
+                ipa = verb_ipa
+            else:
+                prev = [w.lower() for w in left[-2:]]
+                ipa = (
+                    noun_ipa if any(w in _PAST_CUES for w in prev)
+                    else verb_ipa
+                )
         else:
             score = _verb_score(stem, left, right)
             ipa = verb_ipa if score > 0 else noun_ipa

@@ -70,10 +70,31 @@ class TestG2P:
         unknown = [c for c in out if c not in cleaner.word_index_dictionary]
         assert unknown == [], f"unknown symbols: {unknown}"
 
+    def test_g2p_accuracy_vs_golden(self):
+        """Measured quality floor (VERDICT r2 item 7): rule-G2P phoneme
+        error rate against the committed espeak-convention golden corpus
+        (scripts/g2p_eval.py publishes the full report)."""
+        import json
+        import subprocess
+        import sys
+        from pathlib import Path
+
+        out = subprocess.run(
+            [sys.executable,
+             str(Path(__file__).parent.parent / "scripts/g2p_eval.py")],
+            capture_output=True, text=True, timeout=120,
+        )
+        report = json.loads(out.stdout.strip().splitlines()[-1])
+        assert report["full_pipeline"]["per_no_marks"] <= 0.05, report
+        assert report["rules_only"]["per_no_marks"] <= 0.08, report
+        assert report["homograph_accuracy"] >= 0.9, report
+
     def test_stress_and_plural(self):
         from stylish_tts_tpu.textfrontend.g2p import add_stress, pluralize
 
-        assert add_stress("kæt") == "ˈkæt"
+        # espeak convention: mark immediately before the stressed vowel
+        assert add_stress("kæt") == "kˈæt"
+        assert add_stress("stɹiːt") == "stɹˈiːt"
         assert pluralize("kæt") == "kæts"
         assert pluralize("dɑːɡ") == "dɑːɡz"
         assert pluralize("wɪʃ") == "wɪʃəz"
@@ -121,6 +142,36 @@ class TestHomographs:
         assert h.resolve("uses", ["she"], ["it"]) == "juːzəz"
         assert h.resolve("lives", ["their"], []) == "laɪvz"
         assert h.resolve("lives", ["she"], ["in"]) == "lɪvz"
+
+    def test_tense_pair_inflections(self):
+        """ADVICE r2: stems whose -ed/-ing form is the OTHER column's
+        lexeme must not hit the forced-verb inflection rule."""
+        from stylish_tts_tpu.textfrontend.homographs import Homographs
+
+        h = Homographs()
+        assert h.resolve("wounded", ["the"], ["soldier"]) == "wuːndɪd"
+        assert h.resolve("wounding", [], []) == "wuːndɪŋ"
+        assert h.resolve("leaded", [], ["glass"]) == "lɛdɪd"
+        assert h.resolve("leading", ["the"], ["way"]) == "liːdɪŋ"
+        assert h.resolve("winded", [], []) == "wɪndɪd"
+        assert h.resolve("winding", ["the"], ["road"]) == "waɪndɪŋ"
+
+    def test_reads_is_always_present(self):
+        """ADVICE r2: 3sg '-s' grammatically excludes past tense."""
+        from stylish_tts_tpu.textfrontend.homographs import Homographs
+
+        h = Homographs()
+        assert h.resolve("reads", ["she", "just"], []) == "ɹiːdz"
+        assert h.resolve("reads", ["he"], ["books"]) == "ɹiːdz"
+
+    def test_houses_stem_voicing(self):
+        """ADVICE r2: 'houses' irregularly voices the stem fricative —
+        /haʊzəz/ for both the plural noun and the 3sg verb."""
+        from stylish_tts_tpu.textfrontend.homographs import Homographs
+
+        h = Homographs()
+        assert h.resolve("houses", ["the"], []) == "haʊzəz"
+        assert h.resolve("houses", ["it"], ["the", "museum"]) == "haʊzəz"
 
     def test_lexicon_symbols_in_inventory(self):
         from stylish_tts_tpu.textfrontend.homographs import HOMOGRAPHS
