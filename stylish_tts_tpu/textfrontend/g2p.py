@@ -33,9 +33,9 @@ LEXICON = {
     "have": "hæv", "has": "hæz", "had": "hæd", "his": "hɪz", "her": "hɜː",
     "their": "ðɛɹ", "there": "ðɛɹ", "what": "wʌt", "when": "wɛn",
     "where": "wɛɹ", "who": "huː", "which": "wɪtʃ", "why": "waɪ",
-    "how": "haʊ", "all": "ɔːl", "one": "wʌn", "two": "tuː",
-    "three": "θɹiː", "four": "fɔːɹ", "five": "faɪv", "six": "sɪks",
-    "seven": "sˈɛvən", "eight": "eɪt", "nine": "naɪn", "ten": "tɛn",
+    "how": "haʊ", "all": "ɔːl", "one": "wˈʌn", "two": "tˈuː",
+    "three": "θɹˈiː", "four": "fˈoːɹ", "five": "fˈaɪv", "six": "sˈɪks",
+    "seven": "sˈɛvən", "eight": "ˈeɪt", "nine": "nˈaɪn", "ten": "tˈɛn",
     "do": "duː", "does": "dʌz", "did": "dɪd", "done": "dʌn",
     "would": "wʊd", "could": "kʊd", "should": "ʃʊd", "said": "sɛd",
     "says": "sɛz", "were": "wɜː", "will": "wɪl", "can": "kæn",
@@ -43,24 +43,24 @@ LEXICON = {
     "once": "wʌns", "so": "soʊ", "no": "noʊ", "go": "ɡoʊ", "my": "maɪ",
     "me": "miː", "us": "ʌs", "our": "aʊɚ", "your": "jʊɹ", "its": "ɪts",
     "them": "ðɛm", "than": "ðæn", "then": "ðɛn", "now": "naʊ",
-    "new": "nuː", "also": "ˈɔːlsoʊ", "only": "ˈoʊnli", "other": "ˈʌðɚ",
+    "new": "nˈuː", "also": "ˈɔːlsoʊ", "only": "ˈoʊnli", "other": "ˈʌðɚ",
     "into": "ˈɪntʊ", "over": "ˈoʊvɚ", "people": "pˈiːpəl",
     "because": "bɪkˈʌz", "through": "θɹuː", "again": "ɐɡˈɛn",
     "against": "ɐɡˈɛnst", "very": "vˈɛɹi", "any": "ˈɛni", "many": "mˈɛni",
-    "water": "wˈɔːɾɚ", "great": "ɡɹeɪt", "before": "bɪfˈoːɹ",
-    "says": "sɛz", "own": "oʊn", "too": "tuː", "know": "noʊ",
-    "knows": "noʊz", "knew": "nuː", "thought": "θɔːt", "though": "ðoʊ",
-    "enough": "ɪnˈʌf", "eyes": "aɪz", "eye": "aɪ", "heart": "hɑːɹt",
-    "world": "wɜːld", "word": "wɜːd", "work": "wɜːk", "first": "fɜːst",
+    "water": "wˈɔːɾɚ", "cow": "kˈaʊ", "young": "jˈʌŋ", "quiet": "kwˈaɪət", "cycle": "sˈaɪkəl", "zero": "zˈɪɹoʊ", "great": "ɡɹˈeɪt", "before": "bɪfˈoːɹ",
+    "says": "sɛz", "own": "ˈoʊn", "too": "tuː", "know": "nˈoʊ",
+    "knows": "nˈoʊz", "knew": "nˈuː", "thought": "θˈɔːt", "though": "ðoʊ",
+    "enough": "ɪnˈʌf", "eyes": "ˈaɪz", "eye": "ˈaɪ", "heart": "hˈɑːɹt",
+    "world": "wˈɜːld", "word": "wˈɜːd", "work": "wˈɜːk", "first": "fˈɜːst",
     "here": "hɪɹ", "out": "aʊt", "about": "ɐbˈaʊt", "up": "ʌp",
-    "down": "daʊn", "day": "deɪ", "night": "naɪt", "light": "laɪt",
-    "right": "ɹaɪt", "old": "oʊld", "good": "ɡʊd", "little": "lˈɪɾəl",
+    "down": "dˈaʊn", "day": "dˈeɪ", "night": "nˈaɪt", "light": "lˈaɪt",
+    "right": "ɹˈaɪt", "old": "ˈoʊld", "good": "ɡˈʊd", "little": "lˈɪɾəl",
     "after": "ˈæftɚ", "never": "nˈɛvɚ", "always": "ˈɔːlweɪz",
     "away": "ɐwˈeɪ", "every": "ˈɛvɹi", "under": "ˈʌndɚ",
     "between": "bɪtwˈiːn", "both": "boʊθ", "while": "waɪl",
     "something": "sˈʌmθɪŋ", "nothing": "nˈʌθɪŋ", "being": "bˈiːɪŋ",
-    "upon": "əpˈɑːn", "made": "meɪd", "make": "meɪk", "like": "laɪk",
-    "time": "taɪm", "years": "jɪɹz", "year": "jɪɹ", "way": "weɪ",
+    "upon": "əpˈɑːn", "made": "mˈeɪd", "make": "mˈeɪk", "like": "lˈaɪk",
+    "time": "tˈaɪm", "years": "jˈɪɹz", "year": "jˈɪɹ", "way": "wˈeɪ",
     "says": "sɛz", "mr": "mˈɪstɚ", "mrs": "mˈɪsɪz", "dr": "dˈɑːktɚ",
     "st": "seɪnt", "one's": "wʌnz", "o'clock": "əklˈɑːk",
 }
@@ -69,9 +69,21 @@ LEXICON = {
 # format: (left-context, grapheme, right-context, phonemes)
 # '#' = word boundary, 'V' = any vowel letter, 'C' = any consonant letter.
 LTS_RULES = [
+    # tense vowel before the -tion/-ture suffixes (nation, nature)
+    ("", "ation", "", "eɪʃən"),
+    ("", "otion", "", "oʊʃən"),
+    ("", "ution", "", "uːʃən"),
+    ("", "ature", "#", "eɪtʃɚ"),
     ("", "tion", "", "ʃən"),
     ("", "sion", "", "ʒən"),
     ("", "ture", "#", "tʃɚ"),
+    ("", "nging", "#", "ŋɪŋ"),  # singing, ringing: no hard g
+    # doubled consonant letters are single phonemes
+    ("", "bb", "", "b"), ("", "dd", "", "d"), ("", "ff", "", "f"),
+    ("", "gg", "", "ɡ"), ("", "ll", "", "l"), ("", "mm", "", "m"),
+    ("", "nn", "", "n"), ("", "pp", "", "p"), ("", "rr", "", "ɹ"),
+    ("", "ss", "", "s"), ("", "tt", "V", "ɾ"), ("", "tt", "", "t"),
+    ("", "zz", "", "z"),
     ("", "ought", "", "ɔːt"),
     ("", "aught", "", "ɔːt"),
     ("", "igh", "", "aɪ"),
@@ -91,7 +103,9 @@ LTS_RULES = [
     ("", "th", "", "θ"),
     ("", "ng", "#", "ŋ"),
     ("", "ng", "", "ŋɡ"),
+    ("", "n", "k", "ŋ"),        # think, bank
     ("", "qu", "", "kw"),
+    ("", "oo", "k", "ʊ"),       # book, look, took
     ("", "oo", "", "uː"),
     ("", "ee", "", "iː"),
     ("", "ea", "", "iː"),
@@ -115,8 +129,12 @@ LTS_RULES = [
     ("", "a", "Ce#", "eɪ"),
     ("", "i", "Ce#", "aɪ"),
     ("", "o", "Ce#", "oʊ"),
-    ("", "u", "Ce#", "uː"),
+    ("l", "u", "Ce#", "uː"),   # flute: no glide after l/r clusters
+    ("r", "u", "Ce#", "uː"),
+    ("", "u", "Ce#", "juː"),   # cute, mute: open-syllable u = /juː/
+    ("C", "le", "#", "əl"),    # circle, little, table
     ("", "e", "#", ""),        # silent final e
+    ("", "o", "#", "oʊ"),      # final open o: photo, piano, hero
     ("", "y", "#", "i"),
     ("#", "y", "", "j"),
     ("", "y", "", "ɪ"),
@@ -136,6 +154,7 @@ LTS_RULES = [
     ("", "g", "", "ɡ"), ("", "h", "", "h"), ("", "k", "", "k"),
     ("", "l", "", "l"), ("", "m", "", "m"), ("", "n", "", "n"),
     ("", "p", "", "p"), ("", "r", "", "ɹ"), ("", "s", "", "s"),
+    ("V", "t", "V", "ɾ"),      # American intervocalic flap: city, water
     ("", "t", "", "t"), ("", "v", "", "v"), ("", "w", "", "w"),
     ("", "z", "", "z"),
 ]
@@ -195,16 +214,15 @@ def letter_to_sound(word: str) -> str:
 
 
 def add_stress(phonemes: str) -> str:
-    """Primary stress before the first syllable onset (espeak convention:
-    stress mark precedes the consonant cluster of the stressed syllable)."""
+    """Primary stress on the first vowel.  espeak places the mark
+    immediately before the stressed VOWEL, after the whole onset cluster
+    (kˈæt, stɹˈiːt, kwˈɪk, fjˈuːtʃɚ) — measured against its output, not
+    the textbook before-the-onset convention."""
     if "ˈ" in phonemes or "ˌ" in phonemes:
         return phonemes
     for i, ch in enumerate(phonemes):
         if ch in VOWELS:
-            onset = i
-            while onset > 0 and phonemes[onset - 1] not in VOWELS + "ˈˌ ":
-                onset -= 1
-            return phonemes[:onset] + "ˈ" + phonemes[onset:]
+            return phonemes[:i] + "ˈ" + phonemes[i:]
     return phonemes
 
 
