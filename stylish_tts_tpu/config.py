@@ -117,6 +117,9 @@ class HubertConfig(BaseModel):
 
 class SpeakerEmbedderConfig(BaseModel):
     hidden_dim: int = 10240
+    # safetensors from scripts/convert_wespeaker.py (vblinkp SimAM-ResNet34
+    # for models/wespeaker.py); None = random-init fallback
+    weights_path: Optional[str] = None
 
 
 class SlmConfig(BaseModel):
@@ -150,6 +153,14 @@ class ModelConfig(BaseModel):
     hop_length: int = 300
     style_dim: int = 64
     inter_dim: int = 128
+    # cfm_hubert_mel feature space: "model" = this model's n_mels log-mel at
+    # hop_length (single frame rate everywhere); "vocos" = the pretrained
+    # Vocos 100-bin / hop-256 features the reference targets
+    # (train/stage_type.py:707) — required to decode validation audio with
+    # converted Vocos weights.  (The reference builds its cfm decoder at
+    # n_mels=80 yet feeds it 100-bin vocos features, which cannot run as
+    # shipped; this flag makes the dimensions consistent either way.)
+    cfm_mel_features: Literal["model", "vocos"] = "model"
 
     text_aligner: TextAlignerConfig = TextAlignerConfig()
     decoder: DecoderConfig = DecoderConfig()
@@ -213,6 +224,9 @@ class TrainingConfig(BaseModel):
     val_interval: int = 2000
     device: str = "tpu"
     mixed_precision: Literal["no", "bf16"] = "bf16"
+    # converted Vocos weights (scripts/convert_vocos.py) for decoding
+    # cfm_hubert_mel validation mels; None falls back to Griffin-Lim
+    vocos_weights: Optional[str] = None
     # TPU replaces OOM probing with ahead-of-time per-bucket memory planning;
     # this caps the device-memory budget used by the planner (MiB).
     memory_budget_mib: int = 14000

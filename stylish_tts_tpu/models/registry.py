@@ -69,7 +69,10 @@ def build_models(model_config: ModelConfig) -> Dict[str, nn.Module]:
         "mpd": MultiPeriodDiscriminator(),
         "hubert_encoder": HubertEncoder(mc),
         "cfm_mel_decoder": CfmMelDecoder(
-            feat_dim=mc.n_mels,
+            # "vocos" feature space = 100-bin hop-256 (models/vocos.py);
+            # the reference leaves this inconsistent (decoder built at
+            # n_mels=80, fed 100-bin vocos mels, stage_type.py:707)
+            feat_dim=100 if mc.cfm_mel_features == "vocos" else mc.n_mels,
             asr_dim=mc.hubert.hidden_dim,
             spk_dim=mc.speaker_embedder.hidden_dim,
             hidden_dim=mc.decoder.hidden_dim,

@@ -878,7 +878,88 @@ def convert_rmvpe(sd: Dict[str, np.ndarray]) -> Tuple[Flat, Flat]:
 
 #: model-zoo name -> converter.  Values return either a params Flat or a
 #: (params, batch_stats) tuple.
+def _bn2(sd: Dict[str, np.ndarray], prefix: str) -> Flat:
+    """torch BatchNorm(weight,bias,running_mean,running_var) -> the frozen
+    _BN params of models/wespeaker.py."""
+    return {
+        "scale": _np(sd[prefix + "weight"]),
+        "bias": _np(sd[prefix + "bias"]),
+        "mean": _np(sd[prefix + "running_mean"]),
+        "var": _np(sd[prefix + "running_var"]),
+    }
+
+
+def convert_wespeaker(sd: Dict[str, np.ndarray]) -> Flat:
+    """wespeaker vblinkp (voxblink2 SimAM-ResNet34 + ASP, reference
+    train/models/ssl.py:34-67) -> models/wespeaker.py:SimAMResNet34ASP.
+    Input: the raw speaker nn.Module state_dict (`model.model` in
+    wespeaker's wrapper); the stripped bottleneck layer is ignored."""
+    out: Flat = {
+        "front/conv1/kernel": conv2d_k(sd["front.conv1.weight"]),
+    }
+    out.update(_prefixed("front/bn1", _bn2(sd, "front.bn1.")))
+    layers = (3, 4, 6, 3)
+    for s, blocks in enumerate(layers, start=1):
+        for i in range(blocks):
+            p = f"front.layer{s}.{i}."
+            f = f"front/layer{s}_{i}"
+            out[f"{f}/conv1/kernel"] = conv2d_k(sd[p + "conv1.weight"])
+            out.update(_prefixed(f"{f}/bn1", _bn2(sd, p + "bn1.")))
+            out[f"{f}/conv2/kernel"] = conv2d_k(sd[p + "conv2.weight"])
+            out.update(_prefixed(f"{f}/bn2", _bn2(sd, p + "bn2.")))
+            if p + "downsample.0.weight" in sd:
+                out[f"{f}/downsample_conv/kernel"] = conv2d_k(
+                    sd[p + "downsample.0.weight"]
+                )
+                out.update(
+                    _prefixed(f"{f}/downsample_bn",
+                              _bn2(sd, p + "downsample.1."))
+                )
+    out["pooling/att_in/kernel"] = conv1d_k(sd["pooling.attention.0.weight"])
+    out["pooling/att_in/bias"] = _np(sd["pooling.attention.0.bias"])
+    out.update(_prefixed("pooling/att_bn", _bn2(sd, "pooling.attention.2.")))
+    out["pooling/att_out/kernel"] = conv1d_k(sd["pooling.attention.3.weight"])
+    out["pooling/att_out/bias"] = _np(sd["pooling.attention.3.bias"])
+    return out
+
+
+def convert_vocos(sd: Dict[str, np.ndarray]) -> Flat:
+    """Pretrained Vocos mel vocoder (charactr/vocos-mel-24khz; the reference
+    loads it via Vocos.from_pretrained, train/train_context.py:179-183).
+    Maps the `backbone.*` / `head.*` state_dict into models/vocos.py:Vocos;
+    the mel feature extractor is weight-free and the iSTFT window is
+    rebuilt on device, so those buffers are skipped."""
+    out: Flat = {
+        "embed/Conv_0/kernel": conv1d_k(sd["backbone.embed.weight"]),
+        "embed/Conv_0/bias": _np(sd["backbone.embed.bias"]),
+        "norm/scale": _np(sd["backbone.norm.weight"]),
+        "norm/bias": _np(sd["backbone.norm.bias"]),
+        "final_layer_norm/scale": _np(sd["backbone.final_layer_norm.weight"]),
+        "final_layer_norm/bias": _np(sd["backbone.final_layer_norm.bias"]),
+        "out/kernel": linear_k(sd["head.out.weight"]),
+        "out/bias": _np(sd["head.out.bias"]),
+    }
+    n_blocks = max(
+        int(k.split(".")[2]) + 1 for k in sd if k.startswith("backbone.convnext.")
+    )
+    for i in range(n_blocks):
+        p = f"backbone.convnext.{i}."
+        f = f"convnext_{i}"
+        out[f"{f}/dwconv/Conv_0/kernel"] = conv1d_k(sd[p + "dwconv.weight"])
+        out[f"{f}/dwconv/Conv_0/bias"] = _np(sd[p + "dwconv.bias"])
+        out[f"{f}/norm/scale"] = _np(sd[p + "norm.weight"])
+        out[f"{f}/norm/bias"] = _np(sd[p + "norm.bias"])
+        out[f"{f}/pwconv1/kernel"] = linear_k(sd[p + "pwconv1.weight"])
+        out[f"{f}/pwconv1/bias"] = _np(sd[p + "pwconv1.bias"])
+        out[f"{f}/pwconv2/kernel"] = linear_k(sd[p + "pwconv2.weight"])
+        out[f"{f}/pwconv2/bias"] = _np(sd[p + "pwconv2.bias"])
+        out[f"{f}/gamma"] = _np(sd[p + "gamma"])
+    return out
+
+
 CONVERTERS = {
+    "vocos": convert_vocos,
+    "wespeaker": convert_wespeaker,
     "mrd": convert_mrd,
     "mpd": convert_mpd,
     "text_aligner": convert_text_aligner,

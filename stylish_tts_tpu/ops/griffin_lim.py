@@ -41,16 +41,20 @@ def mel_to_audio(
     std: float,
     n_iter: int = 32,
     rng: jax.Array | None = None,
+    power: float = 2.0,
 ) -> jax.Array:
-    """Normalised log power-mel [B, T, n_mels] (calculate_mel convention)
-    -> waveform [B, T*hop] via Griffin-Lim."""
+    """Normalised log-mel [B, T, n_mels] -> waveform [B, T*hop] via
+    Griffin-Lim.  power=2.0 is the calculate_mel convention
+    (log(1e-5 + power-mel)); power=1.0 is the Vocos feature convention
+    (log magnitude-mel, models/vocos.py:vocos_mel)."""
     n_mels = norm_log_mel.shape[-1]
-    power_mel = jnp.exp(norm_log_mel * std + mean) - 1e-5
+    eps = 1e-5 if power == 2.0 else 0.0
+    lin_mel = jnp.exp(norm_log_mel * std + mean) - eps
     pinv = jnp.asarray(_pinv_fbank(sample_rate, n_fft, n_mels))
-    power_spec = jnp.maximum(
-        jnp.einsum("btm,mf->btf", power_mel, pinv), 0.0
+    lin_spec = jnp.maximum(
+        jnp.einsum("btm,mf->btf", lin_mel, pinv), 0.0
     )
-    magnitude = jnp.sqrt(power_spec)  # [B, T, freq]
+    magnitude = jnp.sqrt(lin_spec) if power == 2.0 else lin_spec
 
     length = norm_log_mel.shape[1] * hop_length
     if rng is None:

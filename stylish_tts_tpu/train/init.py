@@ -60,7 +60,11 @@ def init_model_variables(
         "mpd": (audio, audio),
         "hubert_encoder": (hubert_feats, frame_lengths),
         "cfm_mel_decoder": (
-            mel, timesteps, hubert_feats, pitch, energy, spk_emb,
+            # feature space follows mc.cfm_mel_features (registry feat_dim)
+            jnp.zeros(
+                (b, f, 100 if mc.cfm_mel_features == "vocos" else mc.n_mels)
+            ),
+            timesteps, hubert_feats, pitch, energy, spk_emb,
         ),
         "cfm_pitch_predictor": (hubert_feats, mel),
         "hubert_speech_predictor": (
@@ -102,6 +106,22 @@ def init_slm_params(rng: jax.Array, mc: Optional[ModelConfig] = None) -> Any:
     return params
 
 
+def init_vocos_params(rng: jax.Array, weights_path: Optional[str]) -> Any:
+    """Frozen Vocos decoder params (models/vocos.py) from a converted
+    checkpoint (scripts/convert_vocos.py); None when no weights are
+    configured — validation then auditions via Griffin-Lim."""
+    if not weights_path:
+        return None
+    from ..models.vocos import VOCOS_N_MELS, Vocos
+    from .checkpoint import load_model_safetensors
+
+    vocos = Vocos()
+    params = vocos.init(
+        {"params": rng}, jnp.zeros((1, INIT_F, VOCOS_N_MELS))
+    )["params"]
+    return load_model_safetensors(weights_path, params)
+
+
 def init_ssl_params(rng: jax.Array, mc: ModelConfig):
     """Frozen HuBERT + speaker-embedder params for the hubert/CFM stages
     (see models/ssl.py — loadable from converted checkpoints on disk)."""
@@ -127,6 +147,15 @@ def init_ssl_params(rng: jax.Array, mc: ModelConfig):
         model_sr=mc.sample_rate, hidden_dim=mc.speaker_embedder.hidden_dim
     )
     spk_p = spk.init({"params": k2}, jnp.zeros((1, 4800)))["params"]
+    if mc.speaker_embedder.weights_path:
+        from .checkpoint import load_model_safetensors
+
+        # converted vblinkp tree (scripts/convert_wespeaker.py) fills the
+        # xvector submodule; requires hidden_dim == the natural 10240
+        spk_p = dict(spk_p)
+        spk_p["xvector"] = load_model_safetensors(
+            mc.speaker_embedder.weights_path, spk_p["xvector"]
+        )
     return hubert_p, spk_p
 
 

@@ -125,3 +125,99 @@ class TestHubertModels:
         normed = norm_f0_zscore(f0, uv, 7.5, 0.8)
         back = denorm_f0_zscore(normed, uv, 7.5, 0.8)
         np.testing.assert_allclose(np.asarray(back), np.asarray(f0), rtol=1e-4)
+
+
+class TestVocosFeatureSpace:
+    def test_vocos_mel_shapes(self):
+        from stylish_tts_tpu.models.vocos import VOCOS_HOP, vocos_mel
+
+        audio = jnp.zeros((2, VOCOS_HOP * 20))
+        mel = vocos_mel(audio)
+        assert mel.shape[0] == 2 and mel.shape[2] == 100
+        assert np.isfinite(np.asarray(mel)).all()
+
+    def test_vocos_decode_shapes(self):
+        from stylish_tts_tpu.models.vocos import VOCOS_HOP, Vocos
+
+        model = Vocos(dim=32, intermediate_dim=64, n_layers=2)
+        mel = jnp.zeros((1, 10, 100))
+        variables = model.init(jax.random.PRNGKey(0), mel)
+        audio = model.apply(variables, mel)
+        assert audio.shape == (1, 9 * VOCOS_HOP)
+
+    @pytest.mark.slow
+    def test_cfm_mel_stage_on_vocos_features(self):
+        """cfm_hubert_mel with model_config.cfm_mel_features='vocos':
+        trains on the 100-bin hop-256 vocos feature grid and auditions
+        through the Vocos decoder when weights are provided (reference
+        stage_type.py:707,747-749 — dimension-consistent here, see
+        config.py)."""
+        from stylish_tts_tpu.config import Config, ModelConfig
+        from stylish_tts_tpu.models import build_models
+        from stylish_tts_tpu.models.vocos import Vocos
+        from stylish_tts_tpu.train.init import (
+            build_train_state,
+            init_model_variables,
+            init_slm_params,
+            init_ssl_params,
+        )
+        from stylish_tts_tpu.train.stages import (
+            StageContext,
+            make_eval_step,
+            make_train_step,
+        )
+
+        mc = ModelConfig()
+        mc.cfm_mel_features = "vocos"
+        mc.text_encoder.layers = 1
+        mc.text_encoder.hidden_dim = 32
+        mc.text_encoder.filter_channels = 64
+        mc.inter_dim = 32
+        mc.style_dim = 16
+        mc.decoder.hidden_dim = 64
+        mc.decoder.residual_dim = 16
+        mc.generator.input_dim = 64
+        mc.generator.hidden_dim = 64
+        mc.generator.conv_intermediate_dim = 128
+        mc.hubert.hidden_dim = 32
+        mc.speaker_embedder.hidden_dim = 48
+        models = build_models(mc)
+        rng = jax.random.PRNGKey(0)
+        variables = init_model_variables(
+            models, mc, rng,
+            keys=["cfm_mel_decoder", "hubert_encoder"],
+        )
+        state = build_train_state(variables, mc)
+        ctx = StageContext(
+            models=models, model_config=mc, config=Config(),
+            mel_mean=-4.0, mel_std=4.0, step_limit=100,
+            duration_class_weight=jnp.ones((16,)),
+        )
+        vocos = Vocos()
+        vocos_p = vocos.init(rng, jnp.zeros((1, 8, 100)))["params"]
+        frozen = {
+            "slm": init_slm_params(rng, mc),
+            "ssl": init_ssl_params(rng, mc),
+            "vocos": vocos_p,
+        }
+        B, Fm = 2, 24
+        batch = dict(
+            text=jnp.zeros((B, 10), jnp.int32),
+            text_length=jnp.asarray([10, 8], jnp.int32),
+            alignment=jnp.zeros((B, 10, Fm)).at[:, 0].set(1.0),
+            pitch=jnp.full((B, Fm), 120.0),
+            audio_gt=jnp.asarray(
+                np.random.default_rng(0).standard_normal((B, Fm * 300)),
+                jnp.float32,
+            ) * 0.1,
+        )
+        step = jax.jit(make_train_step("cfm_hubert_mel", ctx, 1e-4))
+        new_state, metrics = step(state, batch, jax.random.PRNGKey(1), frozen)
+        assert np.isfinite(float(metrics["loss"]))
+        eval_step = jax.jit(make_eval_step("cfm_hubert_mel", ctx))
+        emetrics, audio = eval_step(
+            new_state, batch, jax.random.PRNGKey(2), frozen
+        )
+        assert np.isfinite(float(emetrics["loss"]))
+        # audition decoded through Vocos at the hop-256 grid
+        assert audio is not None and np.isfinite(np.asarray(audio)).all()

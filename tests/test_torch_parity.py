@@ -843,3 +843,218 @@ def test_end_to_end_mel_mae():
     )
     assert mel_mae < 1e-3, (mel_mae, log_mel_mae, audio_mae)
     assert audio_mae < 1e-3, audio_mae
+
+
+def test_vocos_parity():
+    """models/vocos.py:Vocos vs a torch build of the published Vocos
+    decode path (backbone + ISTFTHead, vocos/models.py — the package is
+    not installable air-gapped, so the torch side is assembled here with
+    the checkpoint's exact module/buffer naming), through convert_vocos."""
+    import torch.nn.functional as tF
+
+    dim, inter, n_layers, n_mels, n_fft, hop = 32, 64, 2, 12, 64, 16
+
+    class Block(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.dwconv = torch.nn.Conv1d(dim, dim, 7, padding=3, groups=dim)
+            self.norm = torch.nn.LayerNorm(dim, eps=1e-6)
+            self.pwconv1 = torch.nn.Linear(dim, inter)
+            self.pwconv2 = torch.nn.Linear(inter, dim)
+            self.gamma = torch.nn.Parameter(
+                (1.0 / n_layers) * torch.ones(dim)
+            )
+
+        def forward(self, x):  # [B, C, T]
+            r = x
+            x = self.dwconv(x).transpose(1, 2)
+            x = self.norm(x)
+            x = self.pwconv2(tF.gelu(self.pwconv1(x)))
+            x = (self.gamma * x).transpose(1, 2)
+            return r + x
+
+    class Backbone(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.embed = torch.nn.Conv1d(n_mels, dim, 7, padding=3)
+            self.norm = torch.nn.LayerNorm(dim, eps=1e-6)
+            self.convnext = torch.nn.ModuleList(
+                Block() for _ in range(n_layers)
+            )
+            self.final_layer_norm = torch.nn.LayerNorm(dim, eps=1e-6)
+
+        def forward(self, mel):  # [B, n_mels, T] -> [B, T, C]
+            x = self.embed(mel)
+            x = self.norm(x.transpose(1, 2)).transpose(1, 2)
+            for block in self.convnext:
+                x = block(x)
+            return self.final_layer_norm(x.transpose(1, 2))
+
+    class Head(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.out = torch.nn.Linear(dim, n_fft + 2)
+
+        def forward(self, x):  # [B, T, C] -> [B, samples]
+            x = self.out(x)
+            mag, p = x.chunk(2, dim=-1)
+            mag = torch.clip(torch.exp(mag), max=1e2)
+            spec = mag * (torch.cos(p) + 1j * torch.sin(p))
+            return torch.istft(
+                spec.transpose(1, 2), n_fft, hop_length=hop,
+                win_length=n_fft, window=torch.hann_window(n_fft),
+                center=True,
+            )
+
+    class TorchVocos(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.backbone = Backbone()
+            self.head = Head()
+
+        def forward(self, mel):
+            return self.head(self.backbone(mel))
+
+    torch.manual_seed(0)
+    ref = TorchVocos().eval()
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((2, 20, n_mels)).astype(np.float32)
+    with torch.no_grad():
+        audio_t = ref(torch.tensor(mel).transpose(1, 2))
+
+    from stylish_tts_tpu.models.torch_convert import convert_vocos
+    from stylish_tts_tpu.models.vocos import Vocos
+
+    model = Vocos(
+        n_mels=n_mels, dim=dim, intermediate_dim=inter,
+        n_layers=n_layers, n_fft=n_fft, hop_length=hop,
+    )
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(mel))
+    params = fill_from_flat(
+        convert_vocos(ref.state_dict()), variables["params"]
+    )
+    audio_j = model.apply({"params": params}, jnp.asarray(mel))
+    assert audio_j.shape[-1] == audio_t.shape[-1]
+    np.testing.assert_allclose(
+        np.asarray(audio_j), audio_t.numpy(), atol=2e-4
+    )
+
+
+def test_wespeaker_parity():
+    """models/wespeaker.py vs a torch build of wespeaker's
+    SimAM_ResNet34_ASP (the package is not installable air-gapped; the
+    torch side follows its module naming exactly — front.*, pooling.
+    attention.{0,2,3}, bottleneck stripped), through convert_wespeaker.
+    Tiny channel count for speed; the block/stage structure is the real
+    3/4/6/3."""
+    import torch.nn.functional as tF
+
+    m, n_mels = 4, 16  # tiny channels, real topology
+
+    class SimAM(torch.nn.Module):
+        def forward(self, x):  # [B, C, F, T] in torch layout
+            n = x.shape[2] * x.shape[3] - 1
+            mean = x.mean(dim=[2, 3], keepdim=True)
+            d = (x - mean) ** 2
+            v = d.sum(dim=[2, 3], keepdim=True) / n
+            return x * torch.sigmoid(d / (4 * (v + 1e-4)) + 0.5)
+
+    class Block(torch.nn.Module):
+        def __init__(self, inp, planes, stride):
+            super().__init__()
+            self.conv1 = torch.nn.Conv2d(
+                inp, planes, 3, stride, 1, bias=False
+            )
+            self.bn1 = torch.nn.BatchNorm2d(planes)
+            self.conv2 = torch.nn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+            self.bn2 = torch.nn.BatchNorm2d(planes)
+            self.simam = SimAM()
+            if stride != 1 or inp != planes:
+                self.downsample = torch.nn.Sequential(
+                    torch.nn.Conv2d(inp, planes, 1, stride, bias=False),
+                    torch.nn.BatchNorm2d(planes),
+                )
+            else:
+                self.downsample = torch.nn.Identity()
+
+        def forward(self, x):
+            h = tF.relu(self.bn1(self.conv1(x)))
+            h = self.simam(self.bn2(self.conv2(h)))
+            return tF.relu(h + self.downsample(x))
+
+    class Front(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = torch.nn.Conv2d(1, m, 3, 1, 1, bias=False)
+            self.bn1 = torch.nn.BatchNorm2d(m)
+            chans, strides, counts = (m, 2 * m, 4 * m, 8 * m), (1, 2, 2, 2), (3, 4, 6, 3)
+            inp = m
+            for s, (c, st, n) in enumerate(zip(chans, strides, counts), 1):
+                blocks = []
+                for i in range(n):
+                    blocks.append(Block(inp, c, st if i == 0 else 1))
+                    inp = c
+                setattr(self, f"layer{s}", torch.nn.Sequential(*blocks))
+
+        def forward(self, x):
+            x = tF.relu(self.bn1(self.conv1(x)))
+            for s in range(1, 5):
+                x = getattr(self, f"layer{s}")(x)
+            return x
+
+    class ASPT(torch.nn.Module):
+        def __init__(self, dim):
+            super().__init__()
+            self.attention = torch.nn.Sequential(
+                torch.nn.Conv1d(dim, 128, 1), torch.nn.ReLU(),
+                torch.nn.BatchNorm1d(128), torch.nn.Conv1d(128, dim, 1),
+                torch.nn.Softmax(dim=2),
+            )
+
+        def forward(self, x):  # [B, D, T]
+            w = self.attention(x)
+            mu = (x * w).sum(2)
+            sg = torch.sqrt(
+                ((x ** 2) * w).sum(2).sub(mu ** 2).clamp(min=1e-5)
+            )
+            return torch.cat([mu, sg], dim=1)
+
+    class TorchSam(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.front = Front()
+            self.pooling = ASPT(8 * m * (n_mels // 8))
+
+        def forward(self, feats):  # [B, T, F]
+            x = feats.permute(0, 2, 1).unsqueeze(1)  # [B, 1, F, T]
+            x = self.front(x)                        # [B, C, F', T']
+            b, c, f, t = x.shape
+            x = x.reshape(b, c * f, t)
+            return self.pooling(x)
+
+    torch.manual_seed(0)
+    ref = TorchSam().eval()
+    # randomise BN running stats so the conversion is actually exercised
+    with torch.no_grad():
+        for mod in ref.modules():
+            if isinstance(mod, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+                mod.running_mean.uniform_(-0.2, 0.2)
+                mod.running_var.uniform_(0.5, 1.5)
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((2, 40, n_mels)).astype(np.float32)
+    with torch.no_grad():
+        emb_t = ref(torch.tensor(feats))
+
+    from stylish_tts_tpu.models.torch_convert import convert_wespeaker
+    from stylish_tts_tpu.models.wespeaker import SimAMResNet34ASP
+
+    model = SimAMResNet34ASP(m_channels=m, n_mels=n_mels)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(feats))
+    params = fill_from_flat(
+        convert_wespeaker(ref.state_dict()), variables["params"]
+    )
+    emb_j = model.apply({"params": params}, jnp.asarray(feats))
+    assert emb_j.shape == tuple(emb_t.shape)
+    np.testing.assert_allclose(
+        np.asarray(emb_j), emb_t.numpy(), atol=5e-4
+    )
