@@ -16,7 +16,6 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.mel import MelSpectrogram
 from ..ops.resample import resample
 from .slm import SLMFeatureExtractor
 
@@ -50,39 +49,33 @@ class AdaptiveHubert(nn.Module):
 
 
 class SpeakerEmbeddingModel(nn.Module):
-    """Utterance-level speaker embedding from a 4-second fbank crop
-    (reference ssl.py:34-67; wespeaker 'vblinkp' with the bottleneck
-    removed → a wide pre-bottleneck embedding)."""
+    """Utterance-level speaker embedding from a 4-second Kaldi-fbank crop
+    (reference ssl.py:34-67; wespeaker 'vblinkp' = voxblink2 SimAM-ResNet34
+    with the bottleneck removed → the 10240-d pre-bottleneck statistics
+    vector).  Architecture-exact build in models/wespeaker.py so the
+    published checkpoint converts (scripts/convert_wespeaker.py); at other
+    `hidden_dim`s (tiny test configs) a random projection maps the natural
+    output down — conversion requires hidden_dim == 2·512·(n_mels/8)."""
 
     model_sr: int = 24000
     embed_sr: int = 16000
     n_mels: int = 80
     hidden_dim: int = 10240
     max_half_seconds: float = 2.0
+    m_channels: int = 64
 
     @nn.compact
     def __call__(self, wave: jax.Array) -> jax.Array:
+        from ..ops.fbank import kaldi_fbank
+        from .wespeaker import SimAMResNet34ASP
+
         wave16 = resample(wave, self.model_sr, self.embed_sr)
         max_len = int(2 * self.max_half_seconds * self.embed_sr)
         wave16 = wave16[:, :max_len]
-        fbank = MelSpectrogram(
-            n_mels=self.n_mels, n_fft=512, win_length=400, hop_length=160,
-            sample_rate=self.embed_sr,
-        )(wave16)
-        x = jnp.log(fbank + 1e-6)
-        x = x - jnp.mean(x, axis=1, keepdims=True)  # cepstral mean norm
-        # TDNN stack over frames
-        for i, (c, k, d) in enumerate(
-            [(512, 5, 1), (512, 3, 2), (512, 3, 3), (512, 1, 1)]
-        ):
-            pad = (k * d - d) // 2
-            x = nn.Conv(
-                c, (k,), kernel_dilation=(d,), padding=[(pad, pad)],
-                name=f"tdnn_{i}",
-            )(x)
-            x = nn.relu(x)
-        # stats pooling -> wide embedding
-        mean = jnp.mean(x, axis=1)
-        std = jnp.sqrt(jnp.var(x, axis=1) + 1e-6)
-        pooled = jnp.concatenate([mean, std], axis=-1)
-        return nn.Dense(self.hidden_dim, name="embed")(pooled)
+        feats = kaldi_fbank(wave16, self.n_mels)
+        emb = SimAMResNet34ASP(
+            self.m_channels, self.n_mels, name="xvector"
+        )(feats)
+        if emb.shape[-1] != self.hidden_dim:
+            emb = nn.Dense(self.hidden_dim, name="proj")(emb)
+        return emb

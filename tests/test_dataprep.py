@@ -57,3 +57,48 @@ class TestAlignmentHelpers:
         assert left.shape == (3,) and right.shape == (3,)
         assert ((left >= 0) & (left <= 1)).all()
         assert ((left + right)[:-1] <= 1.0 + 1e-6).all()
+
+
+class TestKaldiFbank:
+    """ops/fbank.py — Kaldi-semantics front-end for the wespeaker embedder
+    (torchaudio/kaldi are absent from this image, so these validate the
+    documented invariants rather than bitwise parity)."""
+
+    def test_frame_count_snip_edges(self):
+        import jax.numpy as jnp
+
+        from stylish_tts_tpu.ops.fbank import kaldi_fbank
+
+        t = 16000
+        feats = kaldi_fbank(jnp.zeros((2, t)), cmn=False)
+        assert feats.shape == (2, 1 + (t - 400) // 160, 80)
+
+    def test_tone_lands_in_right_mel_bin(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from stylish_tts_tpu.ops.fbank import kaldi_fbank, kaldi_mel_banks
+
+        sr, f0 = 16000, 1000.0
+        t = np.arange(sr) / sr
+        tone = (0.5 * np.sin(2 * np.pi * f0 * t)).astype(np.float32)
+        feats = np.asarray(kaldi_fbank(jnp.asarray(tone[None]), cmn=False))
+        hot = feats[0].mean(axis=0).argmax()
+        banks = kaldi_mel_banks(80, sr)
+        # expected bin: the filter with max weight at the tone's fft bin
+        expected = banks[round(f0 / (sr / 512))].argmax()
+        assert abs(int(hot) - int(expected)) <= 1
+
+    def test_cmn_zero_mean_and_scale_invariance(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from stylish_tts_tpu.ops.fbank import kaldi_fbank
+
+        rng = np.random.default_rng(0)
+        wave = (0.1 * rng.standard_normal(8000)).astype(np.float32)
+        a = np.asarray(kaldi_fbank(jnp.asarray(wave[None])))
+        np.testing.assert_allclose(a.mean(axis=1), 0.0, atol=1e-4)
+        # log + CMN cancels any constant gain (wespeaker's 1<<15 scaling)
+        b = np.asarray(kaldi_fbank(jnp.asarray(wave[None] * 32768.0)))
+        np.testing.assert_allclose(a, b, atol=1e-3)
