@@ -37,6 +37,14 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--frames", type=int, default=460)
     ap.add_argument("--tokens", type=int, default=192)
+    ap.add_argument(
+        "--precision", choices=["no", "bf16"], default="bf16",
+        help="mixed_precision mode for the profiled step",
+    )
+    ap.add_argument(
+        "--sections", default="all",
+        help="comma list: full,speech,spec,slm,mrd (default all)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -68,8 +76,10 @@ def main() -> None:
         set(sdef.train_models) | set(sdef.eval_models)
         | set(sdef.discriminators),
     )
+    cfg = Config()
+    cfg.training.mixed_precision = args.precision
     ctx = StageContext(
-        models=models, model_config=mc, config=Config(),
+        models=models, model_config=mc, config=cfg,
         mel_mean=-4.0, mel_std=4.0, step_limit=10000,
         duration_class_weight=jnp.ones((16,)),
     )
@@ -91,80 +101,101 @@ def main() -> None:
         ),
     )
     key = jax.random.PRNGKey(1)
+    sections = set(args.sections.split(","))
+    if "all" in sections:
+        sections = {"full", "speech", "spec", "slm", "mrd"}
     report = {"backend": jax.devices()[0].platform,
-              "batch": b, "frames": frames}
+              "batch": b, "frames": frames,
+              "precision": args.precision}
+
+    def note():  # progress to stderr: late failures keep earlier numbers
+        sys.stderr.write("partial: " + json.dumps(report) + "\n")
+        sys.stderr.flush()
 
     # 1. full train step
-    step = jax.jit(make_train_step("acoustic", ctx, 1e-4))
-    report["full_step_s"] = round(
-        timeit(lambda: step(state, batch, key, frozen)[1]["loss"]), 4
-    )
+    if "full" in sections:
+        step = jax.jit(make_train_step("acoustic", ctx, 1e-4))
+        report["full_step_s"] = round(
+            timeit(lambda: step(state, batch, key, frozen)[1]["loss"]), 4
+        )
+        note()
+    if sections == {"full"}:
+        print(json.dumps(report))
+        return
 
-    sp_vars = {"params": state.params["speech_predictor"]}
     sp = models["speech_predictor"]
     rngs = {"dropout": key, "sample": key}
 
-    # 2. speech_predictor forward alone
-    @jax.jit
-    def sp_fwd():
-        pred = sp.apply(
-            sp_vars, batch["text"], batch["text_length"],
+    def sp_apply(p):
+        # route through ctx.apply so the section matches the train step's
+        # precision policy (bf16 casts under mixed precision)
+        return ctx.apply(
+            "speech_predictor", {"speech_predictor": p}, None,
+            batch["text"], batch["text_length"],
             batch["alignment"], batch["pitch"],
             jnp.ones((b, frames)), batch["audio_gt"],
             rngs=rngs, train=True,
         )
-        return pred.audio
 
-    report["speech_fwd_s"] = round(timeit(sp_fwd), 4)
-
-    # 3. speech_predictor forward+backward (dummy scalar loss)
+    # 2. speech_predictor forward alone
     @jax.jit
-    def sp_fwd_bwd():
-        def loss_fn(p):
-            pred = sp.apply(
-                {"params": p}, batch["text"], batch["text_length"],
-                batch["alignment"], batch["pitch"],
-                jnp.ones((b, frames)), batch["audio_gt"],
-                rngs=rngs, train=True,
-            )
-            return jnp.sum(jnp.abs(pred.audio))
+    def sp_fwd():
+        return sp_apply(state.params["speech_predictor"]).audio
 
-        return jax.grad(loss_fn)(state.params["speech_predictor"])
+    if "speech" in sections:
+        report["speech_fwd_s"] = round(timeit(sp_fwd), 4)
+        note()
 
-    report["speech_fwd_bwd_s"] = round(timeit(sp_fwd_bwd), 4)
+        # 3. speech_predictor forward+backward (dummy scalar loss)
+        @jax.jit
+        def sp_fwd_bwd():
+            def loss_fn(p):
+                return jnp.sum(jnp.abs(sp_apply(p).audio))
+
+            return jax.grad(loss_fn)(state.params["speech_predictor"])
+
+        report["speech_fwd_bwd_s"] = round(timeit(sp_fwd_bwd), 4)
+        note()
 
     # 4. spectral chain: 3-resolution multi-spectrogram of GT+pred
     mspec = MultiSpectrogram(mc.sample_rate)
     pred_audio = sp_fwd()
 
-    @jax.jit
-    def spec():
-        return mspec(target=batch["audio_gt"], pred=pred_audio)[0]
+    if "spec" in sections:
+        @jax.jit
+        def spec():
+            return mspec(target=batch["audio_gt"], pred=pred_audio)[0]
 
-    report["multi_spectrogram_s"] = round(timeit(spec), 4)
+        report["multi_spectrogram_s"] = round(timeit(spec), 4)
+        note()
 
-    # 5. SLM (WavLM) loss forward
-    @jax.jit
-    def slm():
-        sctx_slm = frozen["slm"]
-        import dataclasses
+    # 5. SLM (WavLM) loss forward.  slm params ride as a jit ARGUMENT —
+    # closing over the concrete arrays embeds them as HLO literals, and
+    # the 94M-param WavLM blows the remote-compile request limit.
+    if "slm" in sections:
+        @jax.jit
+        def slm(slm_p):
+            import dataclasses
 
-        c = dataclasses.replace(ctx, slm_params=sctx_slm)
-        return c.slm_loss(batch["audio_gt"], pred_audio)
+            c = dataclasses.replace(ctx, slm_params=slm_p)
+            return c.slm_loss(batch["audio_gt"], pred_audio)
 
-    report["slm_loss_s"] = round(timeit(slm), 4)
+        report["slm_loss_s"] = round(timeit(slm, frozen["slm"]), 4)
+        note()
 
     # 6. MRD discriminator forward on the raw FFT lists
-    specs = mspec(target=batch["audio_gt"], pred=pred_audio)
-    t_fft, p_fft = specs[4], specs[5]
+    if "mrd" in sections:
+        specs = mspec(target=batch["audio_gt"], pred=pred_audio)
+        t_fft, p_fft = specs[4], specs[5]
 
-    @jax.jit
-    def mrd():
-        return models["mrd"].apply(
-            {"params": state.params["mrd"]}, t_fft, p_fft
-        )[0][0]
+        @jax.jit
+        def mrd():
+            return models["mrd"].apply(
+                {"params": state.params["mrd"]}, t_fft, p_fft
+            )[0][0]
 
-    report["mrd_fwd_s"] = round(timeit(mrd), 4)
+        report["mrd_fwd_s"] = round(timeit(mrd), 4)
+        note()
 
     print(json.dumps(report))
 
