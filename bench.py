@@ -152,9 +152,11 @@ def bench_synthesis() -> dict:
     }
 
 
-def bench_train_step() -> dict:
+def bench_train_step(b: int = 8, frames: int = 460, tag: str = "") -> dict:
     """Acoustic-stage train step throughput at full model size
-    (BASELINE.md measured config: acoustic-stage train step, 1 host)."""
+    (BASELINE.md measured config: acoustic-stage train step, 1 host).
+    Swept over representative (batch, frames) buckets — training spends
+    time across bucket shapes, not one hand-picked one (VERDICT r2 #9)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -188,7 +190,7 @@ def bench_train_step() -> dict:
     frozen = {"slm": init_slm_params(jax.random.PRNGKey(7), mc), "ssl": None}
     step = jax.jit(make_train_step("acoustic", ctx, 1e-4), donate_argnums=(0,))
 
-    b, t, frames = 8, 192, 460  # time-bin 20 (~5.75 s audio) at batch 8
+    t = max(32, frames * 192 // 460)  # tokens scale with utterance length
     rng = np.random.default_rng(0)
     align = np.zeros((b, t, frames), np.float32)
     bounds = np.linspace(0, frames, t + 1).astype(int)
@@ -228,15 +230,16 @@ def bench_train_step() -> dict:
     jax.block_until_ready(metrics["loss"])
     dt = (time.perf_counter() - t0) / iters
     audio_sec = b * frames * mc.hop_length / mc.sample_rate
+    p = f"train{tag}_"
     out = {
-        "train_step_s": round(dt, 4),
-        "train_audio_sec_per_s": round(audio_sec / dt, 2),
-        "train_batch": b,
-        "train_frames": frames,
+        p + "step_s": round(dt, 4),
+        p + "audio_sec_per_s": round(audio_sec / dt, 2),
+        p + "batch": b,
+        p + "frames": frames,
     }
     if flops:
-        out["train_step_tflops"] = round(flops / 1e12, 2)
-        out["train_mfu_est"] = round(flops / dt / V5E_BF16_PEAK_FLOPS, 4)
+        out[p + "step_tflops"] = round(flops / 1e12, 2)
+        out[p + "mfu_est"] = round(flops / dt / V5E_BF16_PEAK_FLOPS, 4)
     return out
 
 
@@ -319,7 +322,14 @@ def bench_precache() -> dict:
 
 SUBS = {
     "synthesis": (bench_synthesis, 1500),
-    "train_step": (bench_train_step, 1500),
+    # per-bucket train sweep: the canonical bin-20 shape plus a bigger
+    # batch (bf16 headroom), a short-utterance bucket at wide batch and a
+    # long-utterance bucket (each in its own subprocess so an OOM at one
+    # shape doesn't void the others)
+    "train_step": (bench_train_step, 1800),
+    "train_b16": (lambda: bench_train_step(16, 460, "_b16_f460"), 1800),
+    "train_b32s": (lambda: bench_train_step(32, 230, "_b32_f230"), 1800),
+    "train_b8l": (lambda: bench_train_step(8, 700, "_b8_f700"), 1800),
     "precache": (bench_precache, 900),
 }
 
@@ -359,6 +369,13 @@ def main() -> int:
     if rtfs:
         result["value"] = round(max(rtfs), 3)
         result["vs_baseline"] = round(result["value"] / 5.0, 3)
+    mfus = [v for k, v in result.items() if k.endswith("mfu_est")]
+    thr = [v for k, v in result.items() if k.endswith("audio_sec_per_s")
+           and k.startswith("train")]
+    if mfus:
+        result["train_mfu_best"] = max(mfus)
+    if thr:
+        result["train_audio_sec_per_s_best"] = max(thr)
     if errors:
         result["errors"] = errors
     print(json.dumps(result))

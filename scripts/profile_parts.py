@@ -91,6 +91,12 @@ def main() -> None:
         ),
     )
     key = jax.random.PRNGKey(1)
+    # init happens on the CPU backend — move everything device-side ONCE,
+    # or every timed call re-uploads the param tree through the relay
+    dev = jax.devices()[0]
+    state = jax.device_put(state, dev)
+    frozen = jax.device_put(frozen, dev)
+    batch = jax.device_put(batch, dev)
     report = {"batch": b, "frames": frames, "precision": args.precision}
 
     def note():
@@ -156,6 +162,7 @@ def main() -> None:
         return out
 
     opt_states = {k: state.opt_states[k] for k in stage.train_models}
+    g = jax.device_put(g, dev)
     report["optimizer_s"] = round(
         timeit(lambda: opt_only(train_params, g, opt_states)), 4
     )

@@ -12,8 +12,12 @@ from pathlib import Path
 import numpy as np
 
 
-def make_synthetic_dataset(root: Path, n_segments: int = 6) -> None:
-    """Tiny sine-speech dataset with pitch + alignment caches."""
+def make_synthetic_dataset(
+    root: Path, n_segments: int = 6, seconds: float | None = None,
+) -> None:
+    """Tiny sine-speech dataset with pitch + alignment caches.  Default
+    utterances are 0.3-0.5 s (fast smoke tests); pass ``seconds`` for
+    realistic lengths (train-curve runs at the full model size)."""
     from safetensors.numpy import save_file
     from scipy.io import wavfile
 
@@ -25,7 +29,13 @@ def make_synthetic_dataset(root: Path, n_segments: int = 6) -> None:
     lines = []
     pitch_map, align_map = {}, {}
     for i in range(n_segments):
-        frames = int(rng.integers(24, 40))  # 0.3-0.5 s
+        if seconds is None:
+            frames = int(rng.integers(24, 40))  # 0.3-0.5 s
+        else:
+            base_frames = int(seconds * sr / hop)
+            frames = int(rng.integers(
+                max(24, int(base_frames * 0.7)), int(base_frames * 1.3)
+            ))
         n = frames * hop + int(rng.integers(0, hop))
         f0 = 120.0 + 40.0 * rng.random()
         t = np.arange(n) / sr
@@ -36,7 +46,9 @@ def make_synthetic_dataset(root: Path, n_segments: int = 6) -> None:
         wavfile.write(
             root / "wav24" / name, sr, (wave * 32767).astype(np.int16)
         )
-        n_ph = int(rng.integers(4, 9))
+        # token count tracks duration (~8 frames = 100 ms per phoneme)
+        n_ph = int(np.clip(frames // 8, 4, 120))
+        n_ph = int(rng.integers(max(4, n_ph - 2), n_ph + 3))
         phonemes = "".join(rng.choice(phon_pool, n_ph))
         lines.append(f"{name}|{phonemes}|0|{phonemes}")
         n_frames = n // hop + 1
