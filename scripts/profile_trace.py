@@ -30,7 +30,19 @@ def main() -> None:
     ap.add_argument("--precision", choices=["no", "bf16"], default="bf16")
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--trace-dir", default=None)
+    ap.add_argument("--parse-only", default=None,
+                    help="skip capture; parse this existing trace dir")
     args = ap.parse_args()
+
+    import os
+
+    # tensorboard_plugin_profile ships pre-protobuf-4 generated code
+    os.environ.setdefault(
+        "PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python"
+    )
+    if args.parse_only:
+        _parse(args.parse_only, args.top)
+        return
 
     import jax
     import jax.numpy as jnp
@@ -100,6 +112,10 @@ def main() -> None:
         jax.block_until_ready(m["loss"])
     sys.stderr.write(f"trace in {trace_dir}\n")
 
+    _parse(trace_dir, args.top)
+
+
+def _parse(trace_dir: str, top: int) -> None:
     xplanes = glob.glob(
         f"{trace_dir}/**/*.xplane.pb", recursive=True
     )
@@ -141,7 +157,7 @@ def main() -> None:
         rows.sort(key=lambda r: -(r.get("Total self-time (us)")
                                   or r.get("total_self_time_us") or 0))
         out = []
-        for r in rows[: args.top]:
+        for r in rows[: top]:
             out.append({k: r.get(k) for k in list(r)[:8]})
         print(json.dumps(out, indent=1)[:8000])
         break

@@ -161,6 +161,11 @@ class ModelConfig(BaseModel):
     # n_mels=80 yet feeds it 100-bin vocos features, which cannot run as
     # shipped; this flag makes the dimensions consistent either way.)
     cfm_mel_features: Literal["model", "vocos"] = "model"
+    # checkpoint (remat) the flow couplings + posterior WaveNet in the
+    # acoustic step: their activations at the 4x generator frame rate
+    # bound the per-chip batch size; recompute-in-backward trades cheap
+    # conv FLOPs for that HBM
+    remat_flow: bool = False
 
     text_aligner: TextAlignerConfig = TextAlignerConfig()
     decoder: DecoderConfig = DecoderConfig()

@@ -38,8 +38,7 @@ class WaveNet(nn.Module):
         x: jax.Array,                    # [B, T, H]
         mask: Optional[jax.Array] = None,  # [B, T, 1] or None
         cond: Optional[jax.Array] = None,  # [B, S]
-        *,
-        train: bool = False,
+        train: bool = False,  # positional: nn.remat static_argnums=(4,)
     ) -> jax.Array:
         h = self.hidden_channels
         output = jnp.zeros_like(x)
@@ -83,8 +82,7 @@ class ResidualCouplingLayer(nn.Module):
         zs, means, logstds,
         cond: Optional[jax.Array] = None,
         reverse: bool = False,
-        *,
-        train: bool = False,
+        train: bool = False,  # positional: nn.remat static_argnums=(5, 6)
     ):
         z0, z1 = zs
         mean0, mean1 = means
@@ -123,7 +121,12 @@ class ResidualCouplingLayer(nn.Module):
 
 
 class ResidualCouplingBlock(nn.Module):
-    """n_flows × (coupling + flip) (flow.py:99-151)."""
+    """n_flows × (coupling + flip) (flow.py:99-151).
+
+    ``remat=True`` checkpoints each coupling layer: the flow runs at the
+    generator frame rate (4× mel), so its per-layer activations are among
+    the largest in the acoustic step; recomputing them in the backward
+    trades cheap conv FLOPs for the HBM that bounds the batch size."""
 
     channels: int
     hidden_channels: int
@@ -131,6 +134,7 @@ class ResidualCouplingBlock(nn.Module):
     n_layers: int = 4
     n_flows: int = 8
     cond_channels: int = 0
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -148,8 +152,12 @@ class ResidualCouplingBlock(nn.Module):
         means = (mean[..., :half], mean[..., half:])
         logstds = (logstd[..., :half], logstd[..., half:])
 
+        layer_cls = (
+            nn.remat(ResidualCouplingLayer, static_argnums=(5, 6))
+            if self.remat else ResidualCouplingLayer
+        )
         layers = [
-            ResidualCouplingLayer(
+            layer_cls(
                 half,
                 self.hidden_channels,
                 self.kernel_size,
@@ -165,12 +173,12 @@ class ResidualCouplingBlock(nn.Module):
             for i in reversed(list(order)):
                 zs, means, logstds = _flip(zs), _flip(means), _flip(logstds)
                 zs, means, logstds = layers[i](
-                    zs, means, logstds, cond=cond, reverse=True, train=train
+                    zs, means, logstds, cond, True, train
                 )
         else:
             for i in order:
                 zs, means, logstds = layers[i](
-                    zs, means, logstds, cond=cond, reverse=False, train=train
+                    zs, means, logstds, cond, False, train
                 )
                 zs, means, logstds = _flip(zs), _flip(means), _flip(logstds)
         return (
@@ -226,6 +234,7 @@ class PosteriorEncoder(nn.Module):
     kernel_size: int = 3
     n_layers: int = 12
     cond_channels: int = 0
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -257,13 +266,17 @@ class PosteriorEncoder(nn.Module):
             ],
             axis=-1,
         )
-        x = WaveNet(
+        wn_cls = (
+            nn.remat(WaveNet, static_argnums=(4,))
+            if self.remat else WaveNet
+        )
+        x = wn_cls(
             h,
             self.kernel_size,
             self.n_layers,
             cond_channels=self.cond_channels,
             name="enc",
-        )(x, cond=cond, train=train)
+        )(x, None, cond, train)
         mean = nn.Dense(
             self.out_channels,
             kernel_init=nn.initializers.zeros,

@@ -102,6 +102,7 @@ class SpeechPredictor(nn.Module):
             n_layers=4,
             n_flows=8,
             cond_channels=mc.style_dim,
+            remat=mc.remat_flow,
             name="flow",
         )
         z_text2mel, mean_text2mel, logstd_text2mel = flow(
@@ -118,6 +119,7 @@ class SpeechPredictor(nn.Module):
                 hop_length=mc.hop_length // 4 if use_x4 else mc.hop_length,
                 n_layers=12,
                 cond_channels=mc.style_dim,
+                remat=mc.remat_flow,
                 name="posterior_encoder",
             )(audio_gt, cond=style, sample=sample, train=train)
             z_mel2text, mean_mel2text, logstd_mel2text = flow(
