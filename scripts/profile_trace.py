@@ -13,13 +13,13 @@ from __future__ import annotations
 
 import argparse
 import glob
-import gzip
 import json
 import sys
 import tempfile
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
 def main() -> None:
@@ -124,43 +124,12 @@ def _parse(trace_dir: str, top: int) -> None:
                           "trace_dir": trace_dir}))
         return
 
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+    # direct wire-format parse (the image's tensorboard_plugin_profile
+    # pywrap bridge is built against a different TF and cannot decode
+    # xplanes)
+    from xplane_parse import aggregate
 
-    data, _ = raw_to_tool_data.xspace_to_tool_data(
-        xplanes, "framework_op_stats^", {}
-    )
-    if isinstance(data, bytes):
-        try:
-            data = gzip.decompress(data)
-        except OSError:
-            pass
-        data = data.decode("utf-8", "replace")
-    # framework_op_stats is JSON: rows of op stats
-    try:
-        table = json.loads(data)
-    except json.JSONDecodeError:
-        # fall back: print raw head for manual inspection
-        print(data[:4000])
-        return
-    print(json.dumps(table)[:200])
-    # normalise: gviz table format {cols:[...], rows:[{c:[{v:..}]}]}
-    def rows_of(tbl):
-        cols = [c.get("label") or c.get("id") for c in tbl["cols"]]
-        for r in tbl["rows"]:
-            yield dict(zip(cols, [c.get("v") for c in r["c"]]))
-
-    tbls = table if isinstance(table, list) else [table]
-    for tbl in tbls:
-        if not isinstance(tbl, dict) or "cols" not in tbl:
-            continue
-        rows = list(rows_of(tbl))
-        rows.sort(key=lambda r: -(r.get("Total self-time (us)")
-                                  or r.get("total_self_time_us") or 0))
-        out = []
-        for r in rows[: top]:
-            out.append({k: r.get(k) for k in list(r)[:8]})
-        print(json.dumps(out, indent=1)[:8000])
-        break
+    print(json.dumps(aggregate(trace_dir, top), indent=1))
 
 
 if __name__ == "__main__":

@@ -81,23 +81,53 @@ def save_checkpoint(
     return path
 
 
-def load_checkpoint(path: str | Path, abstract_state):
-    """Restore (train_state, manifest, normalization) from a checkpoint dir.
-
-    ``abstract_state`` is a freshly-initialised TrainState used as the
-    PyTree/restore template."""
-    path = Path(path)
+def _restore_state(path: Path, abstract_state):
     with ocp.PyTreeCheckpointer() as ckptr:
         # `item` gives orbax the TrainState template so the on-disk nested
         # dict is matched back onto the dataclass/namedtuple structure
         # (restoring without it fails: dict vs TrainState tree mismatch)
-        state = ckptr.restore(
+        return ckptr.restore(
             path.absolute() / "state",
             item=abstract_state,
             restore_args=jax.tree_util.tree_map(
                 lambda _: ocp.RestoreArgs(), abstract_state
             ),
         )
+
+
+def _restore_legacy_flat(path: Path, abstract_state):
+    from .optim import get_layout, migrate_flat_opt_state, set_layout
+    from .optim import init_opt_states
+
+    prev = get_layout()
+    set_layout("flat")
+    try:
+        template = abstract_state.replace(
+            opt_states=init_opt_states(abstract_state.params)
+        )
+    finally:
+        set_layout(prev)
+    state = _restore_state(path, template)
+    migrated = {
+        key: migrate_flat_opt_state(opt, state.params[key])
+        for key, opt in state.opt_states.items()
+    }
+    return state.replace(opt_states=migrated)
+
+
+def load_checkpoint(path: str | Path, abstract_state):
+    """Restore (train_state, manifest, normalization) from a checkpoint dir.
+
+    ``abstract_state`` is a freshly-initialised TrainState used as the
+    PyTree/restore template."""
+    path = Path(path)
+    try:
+        state = _restore_state(path, abstract_state)
+    except Exception:  # noqa: BLE001
+        # legacy round-2 checkpoints store adam moments as one flat vector
+        # per module; retry with a flat-layout template and unravel the
+        # moments back onto the param trees
+        state = _restore_legacy_flat(path, abstract_state)
     meta = json.loads((path / "meta.json").read_text())
     manifest = Manifest()
     manifest.load_state_dict(meta["manifest"])

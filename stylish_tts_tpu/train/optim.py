@@ -26,6 +26,25 @@ import optax
 LOGICAL_STEP_LIMIT = 10_000
 PLATEAU = 0.9
 
+# Optimizer state layout: "tree" applies adam leaf-wise over the param
+# pytree; "flat" ravels each module to one vector first.  Round 2 shipped
+# "flat" on a measurement ("per-leaf adam ~4 s/step") later shown to be a
+# relay-transfer artifact; the round-3 device trace attributed ~2 s/step
+# of async HBM DMA to the ravel/unravel traffic, and the A/B
+# (scripts/opt_ab.py) confirmed tree wins.  "flat" is kept for checkpoint
+# migration and the A/B harness.
+_LAYOUT = "tree"
+
+
+def set_layout(layout: str) -> None:
+    global _LAYOUT
+    assert layout in ("tree", "flat"), layout
+    _LAYOUT = layout
+
+
+def get_layout() -> str:
+    return _LAYOUT
+
 
 def cosine_logical_lr(
     base_lr: float, step: jax.Array, step_limit: int
@@ -52,20 +71,39 @@ def make_optimizer() -> optax.GradientTransformation:
 
 
 def init_opt_states(params: Dict[str, Any]) -> Dict[str, Any]:
-    """One optimizer state per module, over the *flattened* param vector.
+    """One optimizer state per module.
 
-    A model here has O(1000) small leaves; per-leaf adam updates become
-    thousands of lane-padded micro-kernels on TPU (measured ~4 s/step for
-    one module).  Flattening to a single f32 vector turns the update into
-    five fused vector ops."""
-    import jax.flatten_util
-
+    Layout "tree" (default): adam moments mirror the param pytree — the
+    update is per-leaf but stays in place, no extra HBM traffic.  Layout
+    "flat": moments over the ravelled vector (legacy round-2 layout; the
+    per-step ravel/unravel showed up as ~2 s/step of async DMA in the
+    round-3 device trace)."""
     opt = make_optimizer()
     out = {}
     for key in params:
-        flat, _ = jax.flatten_util.ravel_pytree(params[key])
-        out[key] = opt.init(flat)
+        if _LAYOUT == "tree":
+            out[key] = opt.init(params[key])
+        else:
+            import jax.flatten_util
+
+            flat, _ = jax.flatten_util.ravel_pytree(params[key])
+            out[key] = opt.init(flat)
     return out
+
+
+def migrate_flat_opt_state(flat_state, params):
+    """Convert one module's legacy flat-vector adam state (round-2 layout)
+    to the tree layout by unravelling the mu/nu moment vectors back onto
+    the param pytree.  Used when resuming an old checkpoint."""
+    import jax.flatten_util
+
+    unravel = jax.flatten_util.ravel_pytree(params)[1]
+    inner = flat_state.inner_state
+    adam = inner[0]
+    new_adam = adam._replace(mu=unravel(adam.mu), nu=unravel(adam.nu))
+    return flat_state._replace(
+        inner_state=(new_adam,) + tuple(inner[1:])
+    )
 
 
 def set_learning_rate(opt_state, lr: jax.Array):
@@ -76,12 +114,15 @@ def set_learning_rate(opt_state, lr: jax.Array):
 
 
 def apply_updates(params, grads, opt_state, lr: jax.Array):
-    """One AdamW step for a single module at the given LR (flat-vector)."""
+    """One AdamW step for a single module at the given LR."""
+    opt = make_optimizer()
+    opt_state = set_learning_rate(opt_state, lr)
+    if _LAYOUT == "tree":
+        updates, new_opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt_state
     import jax.flatten_util
 
     flat_params, unravel = jax.flatten_util.ravel_pytree(params)
     flat_grads, _ = jax.flatten_util.ravel_pytree(grads)
-    opt = make_optimizer()
-    opt_state = set_learning_rate(opt_state, lr)
     updates, new_opt_state = opt.update(flat_grads, opt_state, flat_params)
     return unravel(optax.apply_updates(flat_params, updates)), new_opt_state

@@ -88,3 +88,76 @@ class TestFullCheckpoint:
         b = jax.tree_util.tree_leaves(state2.params)
         assert len(a) == len(b)
         np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+
+
+class TestOptLayoutMigration:
+    def _tiny_state(self):
+        from stylish_tts_tpu.train.state import TrainState
+        from stylish_tts_tpu.train.optim import init_opt_states
+
+        params = {
+            "mod": {
+                "dense": {"kernel": jnp.ones((3, 4)), "bias": jnp.zeros((4,))},
+                "conv": {"kernel": jnp.full((2, 1, 4), 0.5)},
+            }
+        }
+        return TrainState(
+            params=params,
+            opt_states=init_opt_states(params),
+            batch_stats={},
+            disc_ema={},
+            log_priors=jnp.zeros((4,)),
+            prior_sum=jnp.zeros((4,)),
+            prior_frames=jnp.zeros(()),
+            priors_initialized=jnp.zeros((), bool),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    def test_flat_checkpoint_migrates_to_tree(self, tmp_path):
+        """A round-2 checkpoint (flat adam moments) restores under the
+        tree layout with moments unravelled onto the param trees."""
+        from stylish_tts_tpu.train import optim
+        from stylish_tts_tpu.train.checkpoint import (
+            load_checkpoint,
+            save_checkpoint,
+            Manifest,
+            NormalizationStats,
+        )
+
+        assert optim.get_layout() == "tree"
+        optim.set_layout("flat")
+        try:
+            old = self._tiny_state()
+            # give the flat moments distinguishable values
+            inner = old.opt_states["mod"].inner_state
+            adam = inner[0]
+            n = adam.mu.shape[0]
+            adam = adam._replace(
+                mu=jnp.arange(n, dtype=jnp.float32),
+                nu=jnp.arange(n, dtype=jnp.float32) * 2,
+            )
+            old = old.replace(
+                opt_states={
+                    "mod": old.opt_states["mod"]._replace(
+                        inner_state=(adam,) + tuple(inner[1:])
+                    )
+                }
+            )
+            save_checkpoint(
+                tmp_path, "ck", old, Manifest(), NormalizationStats(),
+                "{}", "{}",
+            )
+        finally:
+            optim.set_layout("tree")
+
+        template = self._tiny_state()
+        restored, _, _, _ = load_checkpoint(tmp_path / "ck", template)
+        mu = restored.opt_states["mod"].inner_state[0].mu
+        # tree-shaped moments now, matching params structure
+        assert set(mu.keys()) == {"dense", "conv"}
+        import jax.flatten_util
+
+        flat_mu = jax.flatten_util.ravel_pytree(mu)[0]
+        np.testing.assert_allclose(
+            np.asarray(flat_mu), np.arange(flat_mu.shape[0], dtype=np.float32)
+        )
