@@ -327,8 +327,11 @@ SUBS = {
     # long-utterance bucket (each in its own subprocess so an OOM at one
     # shape doesn't void the others)
     "train_step": (bench_train_step, 1800),
-    "train_b16": (lambda: bench_train_step(16, 460, "_b16_f460"), 1800),
-    "train_b32s": (lambda: bench_train_step(32, 230, "_b32_f230"), 1800),
+    # footprint guide (dominant term = MRD res-0 fmaps ~ batch*frames):
+    # b8*f460 and b8*f700 (1.5x) fit on 16 GB; b16*f460 (2x) OOMs.
+    # The wide-batch/short-utterance points keep batch*frames <= 1.5x.
+    "train_b16": (lambda: bench_train_step(16, 230, "_b16_f230"), 1800),
+    "train_b12": (lambda: bench_train_step(12, 460, "_b12_f460"), 1800),
     "train_b8l": (lambda: bench_train_step(8, 700, "_b8_f700"), 1800),
     "precache": (bench_precache, 900),
 }
