@@ -87,15 +87,17 @@ def main() -> int:
     logging.getLogger("stylish_tts_tpu.train.loop").addHandler(capture)
     logging.getLogger("stylish_tts_tpu.train.loop").setLevel(logging.INFO)
 
+    report = {"steps": args.steps, "utts": args.utts,
+              "curves": capture.curves}
     for stage in args.stages.split(","):
         out_dir = root / f"out_{stage}"
         train_model(
             config=config, model_config=mc, out_dir=str(out_dir),
             stage_name=stage, max_steps=args.steps,
         )
-
-    report = {"steps": args.steps, "utts": args.utts,
-              "curves": capture.curves}
+        # partial dump: a relay outage mid-run shouldn't void the
+        # stages already measured
+        Path(args.out).write_text(json.dumps(report))
     # summary: first/last window means + GAN band occupancy
     for stage, curve in capture.curves.items():
         if len(curve) < 8:

@@ -15,9 +15,12 @@ from __future__ import annotations
 import hashlib
 import json
 import logging
+import sys
 import time
 from pathlib import Path
 from typing import Dict, Optional
+
+from tqdm import tqdm
 
 import jax
 import jax.numpy as jnp
@@ -444,7 +447,19 @@ def train_model(
                 skip_batches=resume_skip if epoch == start_epoch else 0,
             )
             skip_bins = set()
-            for batch in iterator:
+            # operator progress bar (reference train.py:332-393): loss
+            # postfix + countdown to the next validation/save.  Interactive
+            # main process only — log files and captured runs stay clean.
+            progress = tqdm(
+                iterator,
+                total=max(steps_per_epoch - (
+                    resume_skip if epoch == start_epoch else 0
+                ), 0),
+                desc=f"{current} epoch {epoch + 1}/{plan.epochs}",
+                unit="step", dynamic_ncols=True, leave=False,
+                disable=not (main_process and sys.stderr.isatty()),
+            )
+            for batch in progress:
                 if batch.get("bin") in skip_bins:
                     continue
                 rng, step_rng = jax.random.split(rng)
@@ -470,6 +485,14 @@ def train_model(
                     combined = _drain_metrics(logs)
                     logs = []
                     total = combined.pop("loss", 0.0)
+                    vi = config.training.val_interval
+                    si = config.training.save_interval
+                    progress.set_postfix(
+                        loss=f"{total:.3f}",
+                        val_in=vi - step % vi,
+                        save_in=si - step % si,
+                        refresh=False,
+                    )
                     if main_process:
                         logger.info(
                             "[%s] epoch %d step %d %s", current,
