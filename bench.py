@@ -12,8 +12,10 @@ parity) with randomly initialised weights — throughput is weight-independent.
 Robustness: the TPU backend is reachable through a remote relay that can be
 transiently down (round 1 lost its bench to an outage) — so the backend is
 probed with retry/backoff in subprocesses first, each sub-benchmark runs in
-its own subprocess under a timeout, and a partial JSON is still emitted if
-some sections fail.
+its own subprocess under a timeout, and the CUMULATIVE partial JSON line is
+printed after EVERY sub-benchmark (last line wins) so a driver timeout mid-run
+still captures everything measured so far (round 3 lost its bench to an
+all-or-nothing print).  Sub-benchmarks run headline-first.
 """
 
 import json
@@ -24,8 +26,8 @@ import time
 
 V5E_BF16_PEAK_FLOPS = 197e12  # per-chip bf16 peak, TPU v5e
 
-BACKEND_RETRIES = 8
-BACKEND_BACKOFF_S = 30  # grows 1.5x per attempt, capped at 5 min
+BACKEND_RETRIES = 3
+BACKEND_BACKOFF_S = 20  # grows 1.5x per attempt
 
 
 def probe_backend() -> bool:
@@ -33,23 +35,27 @@ def probe_backend() -> bool:
     can be cached by jax) until the relay answers or retries run out."""
     delay = BACKEND_BACKOFF_S
     for attempt in range(BACKEND_RETRIES):
-        r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            capture_output=True, timeout=300,
-        )
-        if r.returncode == 0:
-            return True
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=120,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
         sys.stderr.write(
             f"backend probe {attempt + 1}/{BACKEND_RETRIES} failed; "
             f"retrying in {delay:.0f}s\n"
         )
         time.sleep(delay)
-        delay = min(delay * 1.5, 300)
+        delay = min(delay * 1.5, 60)
     return False
 
 
 def run_sub(name: str, timeout: float) -> dict:
     """Run `python bench.py --sub name` and parse its JSON line."""
+    t0 = time.perf_counter()
     try:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--sub", name],
@@ -58,8 +64,15 @@ def run_sub(name: str, timeout: float) -> dict:
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:] + "\n")
             return {"error": f"{name}: rc={r.returncode}"}
-        return json.loads(r.stdout.strip().splitlines()[-1])
-    except subprocess.TimeoutExpired:
+        out = json.loads(r.stdout.strip().splitlines()[-1])
+        out[f"{name}_elapsed_s"] = round(time.perf_counter() - t0, 1)
+        return out
+    except subprocess.TimeoutExpired as exc:
+        err = exc.stderr
+        if err:
+            if isinstance(err, bytes):
+                err = err.decode(errors="replace")
+            sys.stderr.write(err[-2000:] + "\n")
         return {"error": f"{name}: timeout after {timeout:.0f}s"}
     except Exception as exc:  # noqa: BLE001
         return {"error": f"{name}: {exc}"}
@@ -320,21 +333,50 @@ def bench_precache() -> dict:
     }
 
 
+# Ordered HEADLINE-FIRST: a driver timeout partway through still leaves the
+# baseline-facing numbers on stdout (the cumulative JSON reprints per sub).
 SUBS = {
-    "synthesis": (bench_synthesis, 1500),
-    # per-bucket train sweep: the canonical bin-20 shape plus a bigger
-    # batch (bf16 headroom), a short-utterance bucket at wide batch and a
-    # long-utterance bucket (each in its own subprocess so an OOM at one
-    # shape doesn't void the others)
-    "train_step": (bench_train_step, 1800),
-    # footprint guide (dominant term = MRD res-0 fmaps ~ batch*frames):
-    # b8*f460 and b8*f700 (1.5x) fit on 16 GB; b16*f460 (2x) OOMs.
-    # The wide-batch/short-utterance points keep batch*frames <= 1.5x.
-    "train_b16": (lambda: bench_train_step(16, 230, "_b16_f230"), 1800),
-    "train_b12": (lambda: bench_train_step(12, 460, "_b12_f460"), 1800),
-    "train_b8l": (lambda: bench_train_step(8, 700, "_b8_f700"), 1800),
-    "precache": (bench_precache, 900),
+    # 900 s budgets: cold compiles through the TPU relay run 5-15 min; the
+    # persistent compile cache (~/.cache/jax*) makes warm reruns fast and
+    # accumulates across timed-out attempts, so partial progress persists.
+    "synthesis": (bench_synthesis, 900),
+    # canonical bin-20 acoustic train shape (BASELINE measured config)
+    "train_step": (bench_train_step, 900),
+    "precache": (bench_precache, 600),
+    # extra bucket shapes, each in its own subprocess so an OOM at one
+    # shape doesn't void the others.  Footprint guide (dominant term =
+    # MRD res-0 fmaps ~ batch*frames): b8*f460 and b8*f700 (1.5x) fit on
+    # 16 GB; the wide-batch/short-utterance points keep batch*frames <= 1.5x.
+    "train_b8l": (lambda: bench_train_step(8, 700, "_b8_f700"), 900),
+    "train_b16": (lambda: bench_train_step(16, 230, "_b16_f230"), 900),
+    "train_b12": (lambda: bench_train_step(12, 460, "_b12_f460"), 900),
 }
+
+
+def summarize(result: dict, errors: list) -> dict:
+    rtfs = [
+        result.get(k)
+        for k in (
+            "single_stream_rtf", "batched_rtf_b16", "batched_rtf_b32",
+            "pipelined_rtf_b32",
+        )
+        if result.get(k)
+    ]
+    if rtfs:
+        result["value"] = round(max(rtfs), 3)
+        result["vs_baseline"] = round(result["value"] / 5.0, 3)
+    mfus = [v for k, v in result.items() if k.endswith("mfu_est")]
+    thr = [v for k, v in result.items() if k.endswith("audio_sec_per_s")
+           and k.startswith("train")]
+    if mfus:
+        result["train_mfu_best"] = max(mfus)
+    if thr:
+        result["train_audio_sec_per_s_best"] = max(thr)
+    if errors:
+        result["errors"] = list(errors)
+    elif "errors" in result:
+        del result["errors"]
+    return result
 
 
 def main() -> int:
@@ -355,34 +397,18 @@ def main() -> int:
         return 1
 
     errors = []
+    any_ok = False
     for name, (_, timeout) in SUBS.items():
         sub = run_sub(name, timeout)
         if "error" in sub:
             errors.append(sub["error"])
+        else:
+            any_ok = True
         result.update({k: v for k, v in sub.items() if k != "error"})
-
-    rtfs = [
-        result.get(k)
-        for k in (
-            "single_stream_rtf", "batched_rtf_b16", "batched_rtf_b32",
-            "pipelined_rtf_b32",
-        )
-        if result.get(k)
-    ]
-    if rtfs:
-        result["value"] = round(max(rtfs), 3)
-        result["vs_baseline"] = round(result["value"] / 5.0, 3)
-    mfus = [v for k, v in result.items() if k.endswith("mfu_est")]
-    thr = [v for k, v in result.items() if k.endswith("audio_sec_per_s")
-           and k.startswith("train")]
-    if mfus:
-        result["train_mfu_best"] = max(mfus)
-    if thr:
-        result["train_audio_sec_per_s_best"] = max(thr)
-    if errors:
-        result["errors"] = errors
-    print(json.dumps(result))
-    return 0 if rtfs else 1
+        # reprint the CUMULATIVE line after every sub — last line wins, so
+        # a driver timeout mid-run still captures everything so far
+        print(json.dumps(summarize(result, errors)), flush=True)
+    return 0 if any_ok else 1
 
 
 if __name__ == "__main__":

@@ -1,18 +1,26 @@
 """Measure rule-G2P phoneme error rate and homograph accuracy.
 
-VERDICT r2 item 7: "a number in the README, not vibes".  The reference's
-ground truth is live espeak-ng output (lib/ttab/phonemes.py:23-60); this
-image has no espeak binary, so the golden corpus (tests/data/g2p_golden.tsv)
-is hand-authored to espeak-ng en-us conventions and committed.  When an
-espeak binary IS present, pass --regen-golden to re-derive the corpus from
-it instead.
+Round 4 (VERDICT r3 #4/#5): the PRIMARY metrics now come from sources the
+G2P rules' author did not write —
+  * ``tests/data/cmudict_arpabet_1k.tsv``: 1k+ CMUdict-0.7b-derived
+    ARPAbet entries; IPA is derived mechanically here (arpabet_to_ipa) and
+    both hypothesis and gold pass the same convention-collapsing
+    ``normalize`` (flap, rhotic-vowel, length merges) before scoring;
+  * ``tests/data/heteronym_sentences_external.tsv``: disambiguation cases
+    from the classic public heteronym passage + the Wikipedia heteronym
+    word list, graded as noun/verb column choices, with an A/B between
+    the rule scorer and the learned classifier
+    (stylish_tts_tpu/textfrontend/homograph_model.py).
+
+The round-2/3 hand-authored golden (tests/data/g2p_golden.tsv) is kept as
+a secondary metric.  When an espeak binary IS present, --regen-golden
+re-derives that corpus from it.
 
 Reports, as one JSON line (and optionally --out FILE):
   * full-pipeline PER (lexicon + rules, what users get),
   * rules-only PER (every word forced through letter_to_sound — the
     air-gapped fallback quality for out-of-lexicon words),
-  * both with and without stress/length marks,
-  * homograph resolution accuracy over context sentences.
+  * homograph A/B accuracy (heuristic vs learned) on the external set.
 """
 
 from __future__ import annotations
@@ -26,7 +34,65 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-GOLDEN = Path(__file__).resolve().parent.parent / "tests/data/g2p_golden.tsv"
+DATA = Path(__file__).resolve().parent.parent / "tests/data"
+GOLDEN = DATA / "g2p_golden.tsv"
+CMU_GOLDEN = DATA / "cmudict_arpabet_1k.tsv"
+EXTERNAL_HOMOGRAPHS = DATA / "heteronym_sentences_external.tsv"
+
+# ARPAbet -> IPA (espeak-en-us-adjacent symbol choices; exact convention
+# differences are collapsed by normalize() on both sides anyway)
+_ARPA_VOWELS = {
+    "AA": "ɑ", "AE": "æ", "AO": "ɔ", "AW": "aʊ", "AY": "aɪ", "EH": "ɛ",
+    "ER": "ɜ", "EY": "eɪ", "IH": "ɪ", "IY": "i", "OW": "oʊ", "OY": "ɔɪ",
+    "UH": "ʊ", "UW": "u",
+}
+_ARPA_CONS = {
+    "B": "b", "CH": "tʃ", "D": "d", "DH": "ð", "F": "f", "G": "ɡ",
+    "HH": "h", "JH": "dʒ", "K": "k", "L": "l", "M": "m", "N": "n",
+    "NG": "ŋ", "P": "p", "R": "ɹ", "S": "s", "SH": "ʃ", "T": "t",
+    "TH": "θ", "V": "v", "W": "w", "Y": "j", "Z": "z", "ZH": "ʒ",
+}
+
+
+def arpabet_to_ipa(arpa: str) -> str:
+    """Mechanical CMUdict ARPAbet -> IPA.  Stress marks land directly
+    before the vowel (espeak puts them at syllable onset — the marked-PER
+    column therefore over-counts by position; per_no_marks is primary)."""
+    out = []
+    for phone in arpa.split():
+        stress = ""
+        if phone[-1].isdigit():
+            stress = {"1": "ˈ", "2": "ˌ"}.get(phone[-1], "")
+            digit, phone = phone[-1], phone[:-1]
+            if phone == "AH":
+                out.append(stress + ("ə" if digit == "0" else "ʌ"))
+                continue
+            out.append(stress + _ARPA_VOWELS[phone])
+        else:
+            out.append(_ARPA_CONS[phone])
+    return "".join(out)
+
+
+# convention collapse: applied to BOTH hypothesis and gold before the edit
+# distance.  Multi-char units first (private-use placeholders), then the
+# systematic espeak-vs-CMU merges: flap ɾ=t, ɐ=ə, ᵻ=ɪ, r-colored ɚ/ɝ=ɜ,
+# lone o (espeak oːɹ) = ɔ, ascii g = ɡ.
+_DIGRAPHS = [
+    ("t\u0283", "\ue000"), ("d\u0292", "\ue001"), ("a\u028a", "\ue002"),
+    ("a\u026a", "\ue003"), ("e\u026a", "\ue004"), ("\u0254\u026a", "\ue005"),
+    ("o\u028a", "\ue006"),
+]
+_MERGES = str.maketrans({
+    "ɾ": "t", "ɐ": "ə", "ᵻ": "ɪ", "ɚ": "ɜ", "ɝ": "ɜ", "o": "ɔ",
+    "g": "ɡ", "r": "ɹ", "ʴ": None,
+})
+
+
+def normalize(ipa: str) -> str:
+    s = ipa.translate(STRIP_MARKS)
+    for pat, repl in _DIGRAPHS:
+        s = s.replace(pat, repl)
+    return s.translate(_MERGES)
 
 # (sentence, target word, expected IPA) — heteronyms in disambiguating
 # context; expected column from the lexicon the reference disambiguates
@@ -86,25 +152,81 @@ def edit_distance(a: str, b: str) -> int:
     return prev[-1]
 
 
-def per(pairs) -> dict:
-    """{phoneme error rates} over (pred, gold) pairs."""
-    dist = sum(edit_distance(p, g) for p, g in pairs)
-    total = sum(len(g) for _, g in pairs)
-    stripped = [
-        (p.translate(STRIP_MARKS), g.translate(STRIP_MARKS)) for p, g in pairs
-    ]
+def per(pairs, collapse=False) -> dict:
+    """{phoneme error rates} over (pred, gold) pairs.  collapse=True runs
+    both sides through the convention-collapsing normalize() (used for
+    CMU-derived golds, where marked-PER is position-biased by design)."""
+    out = {}
+    if not collapse:
+        dist = sum(edit_distance(p, g) for p, g in pairs)
+        total = sum(len(g) for _, g in pairs)
+        out["per"] = round(dist / max(total, 1), 4)
+    norm = normalize if collapse else (
+        lambda s: s.translate(STRIP_MARKS)
+    )
+    stripped = [(norm(p), norm(g)) for p, g in pairs]
     dist_ns = sum(edit_distance(p, g) for p, g in stripped)
     total_ns = sum(len(g) for _, g in stripped)
-    exact = sum(
-        p.translate(STRIP_MARKS) == g.translate(STRIP_MARKS)
-        for p, g in pairs
-    )
-    return {
-        "per": round(dist / max(total, 1), 4),
+    exact = sum(p == g for p, g in stripped)
+    out.update({
         "per_no_marks": round(dist_ns / max(total_ns, 1), 4),
         "word_accuracy_no_marks": round(exact / max(len(pairs), 1), 4),
         "words": len(pairs),
-    }
+    })
+    return out
+
+
+def eval_external_homographs(g2p) -> dict:
+    """A/B the rule scorer vs the learned classifier on the external
+    disambiguation set; grades noun/verb column choices."""
+    from stylish_tts_tpu.textfrontend.homograph_model import (
+        LearnedHomographClassifier,
+    )
+    from stylish_tts_tpu.textfrontend.homographs import Homographs
+
+    heur = Homographs()
+    learned = Homographs(classifier=LearnedHomographClassifier.load())
+
+    rows = [
+        line.split("\t")
+        for line in EXTERNAL_HOMOGRAPHS.read_text().splitlines()
+        if line.strip() and not line.startswith("#")
+    ]
+    occ_counter: dict = {}
+    cases, uncovered = [], 0
+    for sentence, word, col, source in rows:
+        key = (sentence, word)
+        occ = occ_counter.get(key, 0)
+        occ_counter[key] = occ + 1
+        toks = sentence.split()
+        positions = [
+            i for i, t in enumerate(toks)
+            if t.lower() == word or heur._stem(t.lower())[0] == word
+        ]
+        if occ >= len(positions):
+            raise ValueError(f"occurrence {occ} of {word!r} not found: "
+                             f"{sentence!r}")
+        i = positions[occ]
+        if not heur.is_homograph(toks[i]):
+            uncovered += 1
+            continue
+        expected = {"n": 0, "v": 1}[col]
+        left, right = toks[max(0, i - 3):i], toks[i + 1:i + 3]
+        cases.append((toks[i], left, right, expected))
+
+    res = {}
+    for name, mech in (("heuristic", heur), ("learned", learned)):
+        hits = sum(
+            mech.choose(w, l, r) == exp for w, l, r, exp in cases
+        )
+        res[name + "_accuracy"] = round(hits / max(len(cases), 1), 4)
+    res.update({
+        "cases": len(cases),
+        "uncovered_stems": uncovered,
+        "source": "public heteronym passage + wikipedia heteronym list "
+                  "(tests/data/heteronym_sentences_external.tsv)",
+    })
+    return res
 
 
 def regen_golden(words) -> None:
@@ -141,6 +263,28 @@ def main() -> int:
         return 0
 
     g2p = G2P(use_espeak=False)
+
+    # -- primary: CMUdict-derived golden (independent of the rules' author)
+    seen = set()
+    cmu_rows = []
+    for line in CMU_GOLDEN.read_text().splitlines():
+        if not line.strip() or line.startswith("#"):
+            continue
+        word, arpa = line.split("\t")
+        if word in seen:
+            continue
+        seen.add(word)
+        cmu_rows.append((word, arpabet_to_ipa(arpa)))
+    cmu_full = [(g2p.word(w), gold) for w, gold in cmu_rows]
+    cmu_rules = [
+        (add_stress(letter_to_sound(w.lower())), gold) for w, gold in cmu_rows
+    ]
+    cmu_oov = [
+        (g2p.word(w), gold) for w, gold in cmu_rows
+        if w.lower() not in LEXICON
+    ]
+
+    # -- secondary: round-2/3 hand-authored espeak-convention golden
     full, rules_only, oov = [], [], []
     for word, gold in rows:
         full.append((g2p.word(word), gold))
@@ -157,13 +301,27 @@ def main() -> int:
                                      toks[i + 1:i + 3])
         hits += got == expected
     report = {
-        "golden_source": "hand-authored espeak-ng en-us conventions "
-                         "(no espeak binary in image)",
-        "full_pipeline": per(full),
-        "rules_only": per(rules_only),
-        "out_of_lexicon": per(oov),
-        "homograph_accuracy": round(hits / len(HOMOGRAPH_SENTENCES), 4),
-        "homograph_sentences": len(HOMOGRAPH_SENTENCES),
+        "cmudict_derived": {
+            "golden_source": "cmudict 0.7b primary pronunciations "
+                             "(tests/data/cmudict_arpabet_1k.tsv), IPA "
+                             "derived mechanically, convention-collapsed "
+                             "both sides",
+            "full_pipeline": per(cmu_full, collapse=True),
+            "rules_only": per(cmu_rules, collapse=True),
+            "out_of_lexicon": per(cmu_oov, collapse=True),
+        },
+        "external_homographs": eval_external_homographs(g2p),
+        "hand_authored": {
+            "golden_source": "hand-authored espeak-ng en-us conventions "
+                             "(no espeak binary in image)",
+            "full_pipeline": per(full),
+            "rules_only": per(rules_only),
+            "out_of_lexicon": per(oov),
+            "homograph_accuracy": round(
+                hits / len(HOMOGRAPH_SENTENCES), 4
+            ),
+            "homograph_sentences": len(HOMOGRAPH_SENTENCES),
+        },
     }
     print(json.dumps(report))
     if args.out:

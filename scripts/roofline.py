@@ -54,13 +54,14 @@ def analyze(name, fn, args, report, iters=4, measure=True):
         entry["bound"] = "compute" if t_c > t_m else "memory"
         entry["ceiling_mfu"] = round(flops / max(t_c, t_m) / PEAK, 3)
     if measure:
-        import numpy as np
-
-        out = fn(*args)
+        # time the COMPILED executable, not the eager fn — eager dispatch
+        # inflates t_measured and is inconsistent with the paired XLA cost
+        # model (ADVICE r3)
+        out = compiled(*args)
         jax.block_until_ready(out)
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = fn(*args)
+            out = compiled(*args)
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / iters
         entry["t_measured_ms"] = round(dt * 1e3, 1)
@@ -74,7 +75,7 @@ def analyze(name, fn, args, report, iters=4, measure=True):
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="ROOFLINE_r03.json")
+    ap.add_argument("--out", default="ROOFLINE_r04.json")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--frames", type=int, default=460)
     args = ap.parse_args()

@@ -134,25 +134,42 @@ def main() -> None:
         flat, _ = jax.flatten_util.ravel_pytree(state0.params[key])
         grad_bytes += flat.size * 4  # f32 grads
     ici_bytes_per_s = 45e9
-    step_s_real = 0.85  # measured single-chip acoustic step (BENCH_r02)
+    step_s_real = 0.75  # measured single-chip acoustic step (r3, tree opt)
     modeled = {}
     for n in (2, 4, 8, 16):
         allreduce_s = 2 * (n - 1) / n * grad_bytes / ici_bytes_per_s
         modeled[n] = step_s_real / (step_s_real + allreduce_s)
+    # multi-HOST projection across slice boundaries (VERDICT r3 #9): DP
+    # over S single-host v5e slices reduces grads intra-slice over ICI,
+    # then all-reduces the slice partials over DCN.  Conservative DCN
+    # budget ~12.5 GB/s usable per host (100 Gbps NICs); DCN bytes per
+    # host per step = 2*(S-1)/S * grad_bytes.
+    dcn_bytes_per_s = 12.5e9
+    modeled_dcn = {}
+    for s in (2, 4, 8):
+        dcn_s = 2 * (s - 1) / s * grad_bytes / dcn_bytes_per_s
+        modeled_dcn[s] = step_s_real / (step_s_real + dcn_s)
     artifact = {
         "mode": "virtual-cpu" if args.virtual else "device",
         "host_cores": os.cpu_count(),
         "note": (
-            "virtual-CPU widths share the same host cores, so the measured "
-            "curve bounds host contention, not ICI; modeled_ici_efficiency "
-            "is the ring-all-reduce projection for TPU v5e"
+            "MEASURED: the virtual-CPU curve only (it bounds host-core "
+            "contention, NOT the interconnect — 8 virtual devices share "
+            f"{os.cpu_count()} cores).  MODELED (projections, no multi-"
+            "chip/multi-host hardware in this environment): "
+            "modeled_ici_efficiency = ring all-reduce over v5e ICI within "
+            "a slice; modeled_dcn_efficiency_hosts = DP across single-"
+            "host slices with grad all-reduce over 100 Gbps DCN."
         ),
         "per_device_batch": args.per_device_batch,
         "frames": args.frames,
-        "throughput_audio_sec_per_s": results,
-        "scaling_efficiency": efficiency,
+        "measured_throughput_audio_sec_per_s": results,
+        "measured_scaling_efficiency_virtual_cpu": efficiency,
+        "measured_multihost": None,
         "grad_bytes_per_step": int(grad_bytes),
+        "single_chip_step_s_used_by_model": step_s_real,
         "modeled_ici_efficiency": modeled,
+        "modeled_dcn_efficiency_hosts": modeled_dcn,
     }
     print(json.dumps(artifact))
     if args.out:

@@ -107,6 +107,67 @@ def _yin_frame_pitch(frames: jax.Array, sample_rate: int) -> jax.Array:
     return jnp.where((f0 >= F0_FLOOR) & (f0 <= F0_CEIL), f0, 0.0)
 
 
+def _stonemask_refine(
+    frames: jax.Array, f0: jax.Array, sample_rate: int,
+    harmonics: int = 3, delta: int = 64, iters: int = 2,
+) -> jax.Array:
+    """Instantaneous-frequency refinement of YIN candidates — the role of
+    WORLD's StoneMask pass (reference
+    train/dataprep/pitch_extractor.py:106-121, pyworld.stonemask).
+
+    For each voiced frame and harmonic k: correlate two Hann-windowed
+    signal windows Δ samples apart against e^{-i2πk f0 n/sr}; the phase
+    increment of c2·conj(c1) unwrapped around k·f0 gives the harmonic's
+    instantaneous frequency, and the refined f0 is the amplitude-weighted
+    mean of IF_k/k, clipped to ±100 cents of the candidate.  Two
+    iterations, all [N, L] elementwise VPU work.
+    """
+    L = 512  # ~3 periods at 140 Hz (WORLD window scale) tracks vibrato
+    # center the two windows on the frame's hop point (frames are padded
+    # by frame_len//2, so the hop point sits mid-frame)
+    start = (frames.shape[1] - L - delta) // 2
+    x1 = frames[:, start:start + L].astype(jnp.float32)
+    x2 = frames[:, start + delta:start + delta + L].astype(jnp.float32)
+    hann = 0.5 - 0.5 * jnp.cos(
+        2.0 * jnp.pi * jnp.arange(L) / (L - 1)
+    )
+    n = jnp.arange(L, dtype=jnp.float32)
+    voiced = f0 > 0
+    fc = jnp.where(voiced, f0, 100.0)  # dummy freq for unvoiced lanes
+
+    def one_iter(fc):
+        num = jnp.zeros_like(fc)
+        den = jnp.zeros_like(fc)
+        for k in range(1, harmonics + 1):
+            phase = (2.0 * jnp.pi * k / sample_rate) * fc[:, None] * n[None]
+            c = jnp.cos(phase) * hann
+            s = jnp.sin(phase) * hann
+            re1 = jnp.sum(x1 * c, axis=-1)
+            im1 = -jnp.sum(x1 * s, axis=-1)
+            re2 = jnp.sum(x2 * c, axis=-1)
+            im2 = -jnp.sum(x2 * s, axis=-1)
+            # angle(c2 * conj(c1)) = phase advance over Δ samples
+            cross_re = re2 * re1 + im2 * im1
+            cross_im = im2 * re1 - re2 * im1
+            dphi = jnp.arctan2(cross_im, cross_re)
+            # unwrap around the candidate harmonic k*fc
+            expected = 2.0 * jnp.pi * k * fc * delta / sample_rate
+            wrapped = jnp.mod(dphi - expected + jnp.pi, 2 * jnp.pi) - jnp.pi
+            if_k = k * fc + wrapped * sample_rate / (2.0 * jnp.pi * delta)
+            amp = jnp.sqrt(re1 * re1 + im1 * im1) + 1e-12
+            num = num + amp * (if_k / k)
+            den = den + amp
+        ref = num / den
+        # clip to ±100 cents of the incoming candidate
+        lo, hi = fc * (2.0 ** (-100 / 1200)), fc * (2.0 ** (100 / 1200))
+        return jnp.clip(ref, lo, hi)
+
+    for _ in range(iters):
+        fc = one_iter(fc)
+    out = jnp.where(voiced, fc, 0.0)
+    return jnp.where((out >= F0_FLOOR) & (out <= F0_CEIL), out, 0.0)
+
+
 CHUNK_FRAMES = 4096  # fixed device batch -> exactly one compiled shape
 
 
@@ -131,7 +192,7 @@ def _median3(f0: np.ndarray) -> np.ndarray:
 
 
 def extract_pitch_batch(
-    waves, sample_rate: int, hop_length: int
+    waves, sample_rate: int, hop_length: int, refine: bool = True
 ) -> list:
     """List of [T] audio -> list of [T//hop + 1] f0 tracks.
 
@@ -161,14 +222,14 @@ def extract_pitch_batch(
             taken += step
             if fill == CHUNK_FRAMES:
                 out[stream_pos : stream_pos + fill] = np.asarray(
-                    _yin_jit(jnp.asarray(buf), sample_rate)
+                    _yin_jit(jnp.asarray(buf), sample_rate, refine)
                 )
                 stream_pos += fill
                 fill = 0
     if fill:
         buf[fill:] = 0.0
         out[stream_pos : stream_pos + fill] = np.asarray(
-            _yin_jit(jnp.asarray(buf), sample_rate)
+            _yin_jit(jnp.asarray(buf), sample_rate, refine)
         )[:fill]
     results = []
     pos = 0
@@ -188,12 +249,19 @@ def extract_pitch(
 _yin_cache = {}
 
 
-def _yin_jit(frames, sample_rate):
-    key = (frames.shape, sample_rate)
+def _yin_jit(frames, sample_rate, refine: bool = True):
+    key = (frames.shape, sample_rate, refine)
     if key not in _yin_cache:
-        _yin_cache[key] = jax.jit(
-            lambda f: _yin_frame_pitch(f, sample_rate)
-        )
+        if refine:
+            _yin_cache[key] = jax.jit(
+                lambda f: _stonemask_refine(
+                    f, _yin_frame_pitch(f, sample_rate), sample_rate
+                )
+            )
+        else:
+            _yin_cache[key] = jax.jit(
+                lambda f: _yin_frame_pitch(f, sample_rate)
+            )
     return _yin_cache[key](frames)
 
 

@@ -63,6 +63,113 @@ LEXICON = {
     "time": "tˈaɪm", "years": "jˈɪɹz", "year": "jˈɪɹ", "way": "wˈeɪ",
     "says": "sɛz", "mr": "mˈɪstɚ", "mrs": "mˈɪsɪz", "dr": "dˈɑːktɚ",
     "st": "seɪnt", "one's": "wʌnz", "o'clock": "əklˈɑːk",
+    # irregular core vocabulary the letter-to-sound rules cannot carry
+    # (same role as the reference's ttab lexicon, phonemes.py:116-118)
+    "business": "bˈɪznəs", "busy": "bˈɪzi", "sugar": "ʃˈʊɡɚ",
+    "usual": "jˈuːʒuəl", "usually": "jˈuːʒuəli", "science": "sˈaɪəns",
+    "ocean": "ˈoʊʃən", "island": "ˈaɪlənd", "iron": "ˈaɪɚn",
+    "answer": "ˈænsɚ", "hour": "ˈaʊɚ", "honest": "ˈɑːnəst",
+    "friend": "fɹˈɛnd", "beautiful": "bjˈuːɾɪfəl", "woman": "wˈʊmən",
+    "women": "wˈɪmɪn", "month": "mˈʌnθ", "money": "mˈʌni",
+    "mother": "mˈʌðɚ", "brother": "bɹˈʌðɚ", "another": "ɐnˈʌðɚ",
+    "son": "sˈʌn", "won": "wˈʌn", "ton": "tˈʌn", "front": "fɹˈʌnt",
+    "love": "lˈʌv", "gone": "ɡˈɔːn", "none": "nˈʌn", "blood": "blˈʌd",
+    "flood": "flˈʌd", "foot": "fˈʊt", "wolf": "wˈʊlf", "whose": "huːz",
+    "whom": "huːm", "aunt": "ˈænt", "laugh": "lˈæf", "cough": "kˈɑːf",
+    "rough": "ɹˈʌf", "tough": "tˈʌf", "stage": "stˈeɪdʒ",
+    "page": "pˈeɪdʒ", "cage": "kˈeɪdʒ", "age": "ˈeɪdʒ",
+    "heard": "hˈɜːd", "early": "ˈɜːli", "earth": "ˈɜːθ",
+    "learn": "lˈɜːn", "search": "sˈɜːtʃ", "pizza": "pˈiːtsə",
+    "lion": "lˈaɪən", "quiet": "kwˈaɪət", "area": "ˈɛɹiə",
+    "idea": "aɪdˈiːə", "piano": "piːˈænoʊ", "radio": "ɹˈeɪdiˌoʊ",
+    "video": "vˈɪdiˌoʊ", "period": "pˈɪɹiəd", "series": "sˈɪɹiz",
+    "serious": "sˈɪɹiəs", "theory": "θˈɪɹi", "museum": "mjuːzˈiːəm",
+    "create": "kɹiːˈeɪt", "january": "dʒˈænjuˌɛɹi",
+    "february": "fˈɛbjuˌɛɹi", "wednesday": "wˈɛnzdeɪ",
+    "tuesday": "tˈuːzdeɪ", "breakfast": "bɹˈɛkfəst",
+    "chocolate": "tʃˈɔːklət", "vegetable": "vˈɛdʒtəbəl",
+    "interesting": "ˈɪntɹəstɪŋ", "comfortable": "kˈʌmftɚbəl",
+    "colonel": "kˈɜːnəl", "stomach": "stˈʌmək", "tongue": "tˈʌŋ",
+    "heart": "hˈɑːɹt", "heavy": "hˈɛvi", "ready": "ɹˈɛdi",
+    "head": "hˈɛd", "dead": "dˈɛd", "death": "dˈɛθ", "bread": "bɹˈɛd",
+    "breath": "bɹˈɛθ", "weather": "wˈɛðɚ", "feather": "fˈɛðɚ",
+    "leather": "lˈɛðɚ", "measure": "mˈɛʒɚ", "pleasure": "plˈɛʒɚ",
+    "treasure": "tɹˈɛʒɚ", "sweater": "swˈɛɾɚ", "instead": "ɪnstˈɛd",
+    "meant": "mˈɛnt", "health": "hˈɛlθ", "wealth": "wˈɛlθ",
+    "jealous": "dʒˈɛləs", "ocean": "ˈoʊʃən", "door": "dˈoːɹ",
+    "floor": "flˈoːɹ", "poor": "pˈʊɹ", "half": "hˈæf", "calm": "kˈɑːm",
+    "walk": "wˈɔːk", "talk": "tˈɔːk", "chalk": "tʃˈɔːk",
+    "would've": "wʊdəv", "give": "ɡˈɪv", "gives": "ɡˈɪvz",
+    "live": "lˈɪv", "lived": "lˈɪvd", "liver": "lˈɪvɚ",
+    "river": "ɹˈɪvɚ", "even": "ˈiːvən", "evening": "ˈiːvnɪŋ",
+    "english": "ˈɪŋɡlɪʃ", "engine": "ˈɛndʒən",
+    "engineer": "ˌɛndʒənˈɪɹ", "orange": "ˈɔːɹəndʒ",
+    "language": "lˈæŋɡwɪdʒ", "image": "ˈɪmədʒ", "village": "vˈɪlədʒ",
+    "garage": "ɡɚɹˈɑːʒ", "machine": "məʃˈiːn", "chef": "ʃˈɛf",
+    "anchor": "ˈæŋkɚ", "echo": "ˈɛkoʊ", "school": "skˈuːl",
+    "character": "kˈɛɹəktɚ", "chemistry": "kˈɛməstɹi",
+    "christmas": "kɹˈɪsməs", "chorus": "kˈoːɹəs", "ache": "ˈeɪk",
+    "headache": "hˈɛdeɪk", "minute": "mˈɪnɪt", "juice": "dʒˈuːs",
+    "fruit": "fɹˈuːt", "suit": "sˈuːt", "build": "bˈɪld",
+    "built": "bˈɪlt", "guide": "ɡˈaɪd", "guitar": "ɡɪtˈɑːɹ",
+    "guard": "ɡˈɑːɹd", "guess": "ɡˈɛs", "guest": "ɡˈɛst",
+    "tomb": "tˈuːm", "comb": "kˈoʊm", "climb": "klˈaɪm",
+    "thumb": "θˈʌm", "debt": "dˈɛt", "doubt": "dˈaʊt",
+    "receipt": "ɹɪsˈiːt", "castle": "kˈæsəl", "listen": "lˈɪsən",
+    "often": "ˈɔːfən", "soften": "sˈɔːfən", "whistle": "wˈɪsəl",
+    "muscle": "mˈʌsəl", "scene": "sˈiːn", "scissors": "sˈɪzɚz",
+    "sword": "sˈoːɹd", "two": "tˈuː", "shoe": "ʃˈuː", "does": "dˈʌz",
+    "goes": "ɡˈoʊz", "shoes": "ʃˈuːz", "canoe": "kənˈuː",
+    "choir": "kwˈaɪɚ", "one": "wˈʌn", "onion": "ˈʌnjən",
+    "monkey": "mˈʌŋki", "monday": "mˈʌndeɪ", "london": "lˈʌndən",
+    "nothing": "nˈʌθɪŋ", "dozen": "dˈʌzən", "cousin": "kˈʌzən",
+    "country": "kˈʌntɹi", "couple": "kˈʌpəl", "trouble": "tɹˈʌbəl",
+    "double": "dˈʌbəl", "touch": "tˈʌtʃ", "southern": "sˈʌðɚn",
+    "enough": "ɪnˈʌf", "among": "əmˈʌŋ", "come": "kˈʌm",
+    "become": "bɪkˈʌm", "welcome": "wˈɛlkəm", "someone": "sˈʌmwʌn",
+    "something": "sˈʌmθɪŋ", "stomach": "stˈʌmək", "oven": "ˈʌvən",
+    "govern": "ɡˈʌvɚn", "government": "ɡˈʌvɚmənt", "above": "əbˈʌv",
+    "glove": "ɡlˈʌv", "shovel": "ʃˈʌvəl", "cover": "kˈʌvɚ",
+    "color": "kˈʌlɚ", "company": "kˈʌmpəni", "wonder": "wˈʌndɚ",
+    "wonderful": "wˈʌndɚfəl", "won't": "woʊnt", "pretty": "pɹˈɪɾi",
+    "bury": "bˈɛɹi", "very": "vˈɛɹi", "eleven": "ɪlˈɛvən",
+    "second": "sˈɛkənd", "seven": "sˈɛvən", "sew": "sˈoʊ",
+    "angel": "ˈeɪndʒəl", "giant": "dʒˈaɪənt", "vein": "vˈeɪn",
+    "eyebrow": "ˈaɪbɹaʊ", "eye": "ˈaɪ", "homework": "hˈoʊmwɜːk",
+    "firework": "fˈaɪɚwɜːk", "keyboard": "kˈiːboːɹd",
+    "schedule": "skˈɛdʒuːl", "rhythm": "ɹˈɪðəm",
+    "restaurant": "ɹˈɛstɚɹɑːnt", "soldier": "sˈoʊldʒɚ",
+    "fuel": "fjˈuːəl", "marriage": "mˈɛɹɪdʒ", "grey": "ɡɹˈeɪ",
+    "hey": "heɪ", "obey": "oʊbˈeɪ", "prey": "pɹˈeɪ",
+    "vineyard": "vˈɪnjɚd", "courtesy": "kˈɜːtəsi",
+    "gasoline": "ɡˈæsəliːn", "society": "səsˈaɪəti",
+    "stranger": "stɹˈeɪndʒɚ", "passenger": "pˈæsəndʒɚ",
+    "danger": "dˈeɪndʒɚ", "dangerous": "dˈeɪndʒɚəs",
+    "manager": "mˈænədʒɚ", "finger": "fˈɪŋɡɚ", "anger": "ˈæŋɡɚ",
+    "hunger": "hˈʌŋɡɚ", "singer": "sˈɪŋɚ", "tongue": "tˈʌŋ",
+    "behavior": "bɪhˈeɪvjɚ", "emergency": "ɪmˈɜːdʒənsi",
+    "razor": "ɹˈeɪzɚ", "paper": "pˈeɪpɚ", "label": "lˈeɪbəl",
+    "basic": "bˈeɪsɪk", "famous": "fˈeɪməs", "nature": "nˈeɪtʃɚ",
+    "navy": "nˈeɪvi", "lady": "lˈeɪdi", "crazy": "kɹˈeɪzi",
+    "baby": "bˈeɪbi", "bacon": "bˈeɪkən", "apron": "ˈeɪpɹən",
+    "horizon": "hɚɹˈaɪzən", "siren": "sˈaɪɹən", "pirate": "pˈaɪɹət",
+    "diamond": "dˈaɪmənd", "vitamin": "vˈaɪɾəmən",
+    "environment": "ɪnvˈaɪɹənmənt", "item": "ˈaɪɾəm",
+    "tomorrow": "təmˈɑːɹoʊ", "tomato": "təmˈeɪɾoʊ",
+    "potato": "pətˈeɪɾoʊ", "banana": "bənˈænə", "sofa": "sˈoʊfə",
+    "motor": "mˈoʊɾɚ", "motorcycle": "mˈoʊɾɚsaɪkəl",
+    "moment": "mˈoʊmənt", "open": "ˈoʊpən", "over": "ˈoʊvɚ",
+    "ocean": "ˈoʊʃən", "total": "tˈoʊɾəl", "local": "lˈoʊkəl",
+    "hotel": "hoʊtˈɛl", "program": "pɹˈoʊɡɹæm", "photo": "fˈoʊɾoʊ",
+    "calculator": "kˈælkjəleɪɾɚ", "excellent": "ˈɛksələnt",
+    "analysis": "ənˈæləsəs", "eraser": "ɪɹˈeɪsɚ",
+    "american": "əmˈɛɹəkən", "opportunity": "ˌɑːpɚtˈuːnəɾi",
+    "similar": "sˈɪməlɚ", "popular": "pˈɑːpjəlɚ",
+    "professor": "pɹəfˈɛsɚ", "resource": "ɹˈiːsoːɹs",
+    "jealousy": "dʒˈɛləsi", "geography": "dʒiˈɑːɡɹəfi",
+    "technology": "tɛknˈɑːlədʒi", "receive": "ɹɪsˈiːv",
+    "security": "sɪkjˈʊɹəɾi", "material": "mətˈɪɹiəl",
+    "experience": "ɪkspˈɪɹiəns", "experiment": "ɪkspˈɛɹəmənt",
 }
 
 # context-sensitive letter-to-sound rules; first match wins.
@@ -74,9 +181,41 @@ LTS_RULES = [
     ("", "otion", "", "oʊʃən"),
     ("", "ution", "", "uːʃən"),
     ("", "ature", "#", "eɪtʃɚ"),
+    ("", "ssion", "", "ʃən"),   # session, mission
     ("", "tion", "", "ʃən"),
     ("", "sion", "", "ʒən"),
     ("", "ture", "#", "tʃɚ"),
+    # Latinate palatalisation suffixes (musician, special, patient,
+    # delicious, pressure, measure)
+    ("", "cian", "", "ʃən"),
+    ("", "cial", "", "ʃəl"),
+    ("", "tial", "", "ʃəl"),
+    ("", "cious", "", "ʃəs"),
+    ("", "tious", "", "ʃəs"),
+    ("", "cient", "", "ʃənt"),
+    ("", "tient", "", "ʃənt"),
+    ("", "tience", "", "ʃəns"),
+    ("", "cience", "", "ʃəns"),
+    ("", "ssure", "#", "ʃɚ"),
+    ("", "sure", "#", "ʒɚ"),
+    # vowel-reduced closing suffixes (famous, animal, statement, reason);
+    # monosyllables that would be caught live in the lexicon
+    ("", "ious", "#", "iəs"),
+    ("", "eous", "#", "iəs"),
+    ("", "ous", "#", "əs"),
+    ("", "ian", "#", "iən"),
+    ("", "ial", "#", "iəl"),
+    ("", "ium", "#", "iəm"),
+    ("", "ment", "#", "mənt"),
+    ("", "ness", "#", "nəs"),
+    ("", "less", "#", "ləs"),
+    ("", "ful", "#", "fəl"),
+    ("V", "al", "#", "əl"),
+    ("C", "al", "#", "əl"),
+    ("C", "on", "#", "ən"),
+    ("", "ence", "#", "əns"),
+    ("", "ance", "#", "əns"),
+    ("#", "ex", "", "ɪks"),     # experience, expensive
     ("", "nging", "#", "ŋɪŋ"),  # singing, ringing: no hard g
     # doubled consonant letters are single phonemes
     ("", "bb", "", "b"), ("", "dd", "", "d"), ("", "ff", "", "f"),
@@ -120,19 +259,58 @@ LTS_RULES = [
     ("", "au", "", "ɔː"),
     ("", "aw", "", "ɔː"),
     ("", "ew", "", "uː"),
+    # vowel+r before another vowel: true /ɹ/ onset, not an r-colored
+    # nucleus (parent, american, miracle, security)
+    ("", "ar", "V", "ɛɹ"),
+    ("", "er", "V", "ɛɹ"),
+    ("", "ir", "V", "ɪɹ"),
+    ("", "ur", "V", "ʊɹ"),
     ("", "ar", "", "ɑːɹ"),
     ("", "er", "#", "ɚ"),
     ("", "er", "", "ɜː"),
     ("", "ir", "", "ɜː"),
     ("", "ur", "", "ɜː"),
+    ("C", "or", "#", "ɚ"),     # unstressed final -or: doctor, mirror
     ("", "or", "", "ɔːɹ"),
+    ("", "ange", "#", "eɪndʒ"),  # change, strange, range
+    ("", "logy", "#", "lədʒi"),
+    ("", "graphy", "#", "ɡɹəfi"),
+    ("", "gion", "", "dʒən"),   # region, religion
+    ("", "gious", "", "dʒəs"),
+    ("", "gen", "", "dʒɛn"),    # generation; 'get' unaffected
+    ("c", "ei", "", "iː"),      # receive, ceiling
+    ("", "ei", "", "eɪ"),       # vein, weigh leftovers
+    ("", "ie", "#", "aɪ"),      # tie, die
+    ("", "ie", "", "iː"),       # believe, field, piece
+    ("#d", "ia", "", "aɪə"),    # diary, diamond, dial
+    ("", "ey", "#", "i"),       # journey, valley, kidney
+    ("#", "re", "CV", "ɹiː"),   # research, receive (desk-safe CV guard)
+    ("#", "be", "CV", "bɪ"),    # behave, believe
+    ("#", "de", "CV", "dɪ"),    # decide, decision
+    ("", "ch", "n", "k"),       # technology
+    ("", "ch", "r", "k"),       # chrome, christen
     ("", "a", "Ce#", "eɪ"),
     ("", "i", "Ce#", "aɪ"),
     ("", "o", "Ce#", "oʊ"),
     ("l", "u", "Ce#", "uː"),   # flute: no glide after l/r clusters
     ("r", "u", "Ce#", "uː"),
     ("", "u", "Ce#", "juː"),   # cute, mute: open-syllable u = /juː/
+    # open-syllable u mid-word: /juː/ (music, community) with American
+    # yod-dropping after coronals (student, news, rule, June)
+    ("t", "u", "CV", "uː"), ("d", "u", "CV", "uː"),
+    ("n", "u", "CV", "uː"), ("s", "u", "CV", "uː"),
+    ("l", "u", "CV", "uː"), ("r", "u", "CV", "uː"),
+    ("z", "u", "CV", "uː"), ("j", "u", "CV", "uː"),
+    ("", "u", "CV", "juː"),
     ("C", "le", "#", "əl"),    # circle, little, table
+    # past-tense -ed: /ɪd/ after t,d; /t/ after voiceless; /d/ otherwise.
+    # Two-letter left contexts keep monosyllables (red, bed) untouched.
+    ("t", "ed", "#", "ɪd"), ("d", "ed", "#", "ɪd"),
+    ("Vs", "ed", "#", "d"),    # closed, surprised (s voiced -> /zd/)
+    ("s", "ed", "#", "t"), ("k", "ed", "#", "t"), ("p", "ed", "#", "t"),
+    ("f", "ed", "#", "t"), ("ch", "ed", "#", "t"), ("sh", "ed", "#", "t"),
+    ("VC", "ed", "#", "d"), ("VCC", "ed", "#", "d"), ("V", "ed", "#", "d"),
+    ("", "ure", "#", "jɚ"),    # figure
     ("", "e", "#", ""),        # silent final e
     ("", "o", "#", "oʊ"),      # final open o: photo, piano, hero
     ("", "y", "#", "i"),
@@ -153,7 +331,10 @@ LTS_RULES = [
     ("", "b", "", "b"), ("", "d", "", "d"), ("", "f", "", "f"),
     ("", "g", "", "ɡ"), ("", "h", "", "h"), ("", "k", "", "k"),
     ("", "l", "", "l"), ("", "m", "", "m"), ("", "n", "", "n"),
-    ("", "p", "", "p"), ("", "r", "", "ɹ"), ("", "s", "", "s"),
+    ("", "p", "", "p"), ("", "r", "", "ɹ"),
+    ("", "s", "e#", "s"),      # final -se stays /s/ (case, house)
+    ("V", "s", "V", "z"),      # intervocalic voicing: reason, music
+    ("", "s", "", "s"),
     ("V", "t", "V", "ɾ"),      # American intervocalic flap: city, water
     ("", "t", "", "t"), ("", "v", "", "v"), ("", "w", "", "w"),
     ("", "z", "", "z"),
@@ -269,7 +450,17 @@ class G2P:
         self.espeak = shutil.which("espeak-ng") or shutil.which("espeak")
         if use_espeak is False:
             self.espeak = None
-        self.homographs = Homographs()
+        # learned (stacked) disambiguator when its committed weights are
+        # present — A/B-measured above the rule scorer on the external
+        # heteronym set (scripts/g2p_eval.py); rules otherwise
+        classifier = None
+        try:
+            from .homograph_model import LearnedHomographClassifier
+
+            classifier = LearnedHomographClassifier.load()
+        except (OSError, ValueError):
+            pass
+        self.homographs = Homographs(classifier=classifier)
 
     def word(self, word: str) -> str:
         lower = word.lower()

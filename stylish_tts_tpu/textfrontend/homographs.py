@@ -257,6 +257,32 @@ class Homographs:
                 return stem + "e", suf
         return None, ""
 
+    def choose(
+        self, word: str, left: List[str], right: List[str]
+    ) -> Optional[int]:
+        """Column decision only: 0 = noun/adjective, 1 = verb (None if the
+        word is not in the heteronym lexicon).  Shared by ``resolve`` and
+        the external A/B harness (scripts/g2p_eval.py)."""
+        stem, suffix = self._stem(word.lower())
+        if stem is None:
+            return None
+        if suffix in ("ed", "ing"):
+            # the morphology itself disambiguates: only verbs inflect —
+            # except the tense-pair stems, where the inflected form is the
+            # OTHER column's lexeme (wounded, leaded, winded)
+            return _TENSE_PAIR_INFLECTIONS.get((stem, suffix), 1)
+        if stem == "read":
+            # tense, not POS: past /ɹɛd/ vs present /ɹiːd/.  A 3sg '-s'
+            # grammatically excludes past tense, so 'reads' is always
+            # present regardless of past cues in context.
+            if suffix == "s":
+                return 1
+            prev = [w.lower() for w in left[-2:]]
+            return 0 if any(w in _PAST_CUES for w in prev) else 1
+        if self.classifier is not None:
+            return int(self.classifier(stem, left, right))
+        return 1 if _verb_score(stem, left, right) > 0 else 0
+
     def resolve(
         self, word: str, left: List[str], right: List[str]
     ) -> Optional[str]:
@@ -267,29 +293,7 @@ class Homographs:
         if stem == "house" and suffix == "s":
             # irregular stem voicing: plural noun AND 3sg verb are /haʊzəz/
             return "haʊzəz"
-        if suffix in ("ed", "ing"):
-            # the morphology itself disambiguates: only verbs inflect —
-            # except the tense-pair stems, where the inflected form is the
-            # OTHER column's lexeme (wounded, leaded, winded)
-            col = _TENSE_PAIR_INFLECTIONS.get((stem, suffix), 1)
-            ipa = (noun_ipa, verb_ipa)[col]
-        elif self.classifier is not None:
-            ipa = (noun_ipa, verb_ipa)[int(self.classifier(stem, left, right))]
-        elif stem == "read":
-            # tense, not POS: past /ɹɛd/ vs present /ɹiːd/.  A 3sg '-s'
-            # grammatically excludes past tense, so 'reads' is always
-            # present regardless of past cues in context.
-            if suffix == "s":
-                ipa = verb_ipa
-            else:
-                prev = [w.lower() for w in left[-2:]]
-                ipa = (
-                    noun_ipa if any(w in _PAST_CUES for w in prev)
-                    else verb_ipa
-                )
-        else:
-            score = _verb_score(stem, left, right)
-            ipa = verb_ipa if score > 0 else noun_ipa
+        ipa = (noun_ipa, verb_ipa)[self.choose(word, left, right)]
         if suffix == "s":
             return _append_s(ipa)
         if suffix == "ed":

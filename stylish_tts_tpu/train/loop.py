@@ -494,11 +494,18 @@ def train_model(
                         refresh=False,
                     )
                     if main_process:
+                        # on a tty the log line would write through the
+                        # active bar; clear it first, redraw after
+                        # (reference train.py guards with clear/display)
+                        if not progress.disable:
+                            progress.clear()
                         logger.info(
                             "[%s] epoch %d step %d %s", current,
                             ctx.manifest.current_epoch, step,
                             format_metrics(combined, total),
                         )
+                        if not progress.disable:
+                            progress.display()
                         if ctx.writer:
                             ctx.writer.add_scalar("train/loss", total, step)
                             for k, v in combined.items():
@@ -528,6 +535,9 @@ def train_model(
                 if max_steps and ctx.manifest.current_total_step >= max_steps:
                     done = True
                     break
+            # leave=False only clears the tty line on close(); cover the
+            # break-on-max_steps and stage-end exits explicitly
+            progress.close()
             if STAGES[current].uses_priors:
                 state = end_alignment_epoch(state)
             if done:

@@ -87,7 +87,10 @@ def test_yin_cents_accuracy_and_voicing():
     recall = tp / (tp + fn)
     f1 = 2 * precision * recall / (precision + recall)
 
-    assert cents.mean() < 25.0, f"cents MAE {cents.mean():.1f}"
-    assert np.percentile(cents, 95) < 60.0
+    # r4 ratchet: the StoneMask-style IF refinement pass
+    # (dataprep/pitch.py:_stonemask_refine) nearly halves raw-YIN error
+    # (14.2 -> 7.8 cents MAE, PITCH_r04.json); thresholds leave drift slack
+    assert cents.mean() < 14.0, f"cents MAE {cents.mean():.1f}"
+    assert np.percentile(cents, 95) < 30.0
     assert (cents > 100).mean() < 0.01, "gross pitch errors"
     assert f1 > 0.95, f"V/UV F1 {f1:.3f}"

@@ -85,9 +85,21 @@ class TestG2P:
             capture_output=True, text=True, timeout=120,
         )
         report = json.loads(out.stdout.strip().splitlines()[-1])
-        assert report["full_pipeline"]["per_no_marks"] <= 0.05, report
-        assert report["rules_only"]["per_no_marks"] <= 0.08, report
-        assert report["homograph_accuracy"] >= 0.9, report
+        # secondary espeak-convention golden: tight floor
+        hand = report["hand_authored"]
+        assert hand["full_pipeline"]["per_no_marks"] <= 0.05, hand
+        assert hand["rules_only"]["per_no_marks"] <= 0.08, hand
+        # 0.85: the learned classifier (default) trades a point on this
+        # small self-authored set for +5pt on the external set below
+        assert hand["homograph_accuracy"] >= 0.85, hand
+        # primary independent CMUdict-derived golden (r4): regression
+        # floors at the honestly-measured level, ratcheted as rules improve
+        cmu = report["cmudict_derived"]
+        assert cmu["full_pipeline"]["per_no_marks"] <= 0.12, cmu
+        assert cmu["rules_only"]["per_no_marks"] <= 0.19, cmu
+        ext = report["external_homographs"]
+        assert ext["learned_accuracy"] >= ext["heuristic_accuracy"], ext
+        assert ext["learned_accuracy"] >= 0.9, ext
 
     def test_stress_and_plural(self):
         from stylish_tts_tpu.textfrontend.g2p import add_stress, pluralize
