@@ -184,6 +184,8 @@ def bench_train_step(b: int = 8, frames: int = 460, tag: str = "") -> dict:
     from stylish_tts_tpu.train.stages import StageContext, make_train_step
 
     mc = ModelConfig()
+    if os.environ.get("STYLISH_MRD_PALLAS"):
+        mc.mrd_pallas = True
     models = build_models(mc)
     variables = init_model_variables(models, mc, jax.random.PRNGKey(0))
     state = build_train_state(variables, mc)

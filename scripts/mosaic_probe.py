@@ -156,9 +156,116 @@ def probe_matmul_after_concat(x):
     return y, w
 
 
+def probe_matmul_after_scratch(x):
+    # assemble via scratch writes, then matmul
+    K = TAPS * CIN
+    w = jnp.asarray(
+        np.random.default_rng(0).standard_normal((K, 128)), jnp.float32
+    )
+
+    def kern(x_ref, w_ref, o_ref, p_ref):
+        for j in range(TAPS):
+            p_ref[:, j * CIN:(j + 1) * CIN] = x_ref[j:j + T, :]
+        o_ref[:] = jnp.dot(
+            p_ref[:], w_ref[:], preferred_element_type=jnp.float32
+        )
+
+    y = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((T, 128), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((T, TAPS * CIN), jnp.float32)],
+    )(x, w)
+    return y, w
+
+
+def probe_mini_kernel(x):
+    """Miniature of the packed spec-conv fwd: grid, manual DMA from an
+    ANY-space input at grid-linear offsets into a 3D VMEM scratch, 54
+    lane-offset slice concat, matmul, 4D output block store."""
+    del x
+    B, FQ, TB = 2, 3, 2
+    WIN = T + 8
+    KT = 9
+    K = 6 * KT * CIN
+    rng = np.random.default_rng(1)
+    xq = rng.standard_normal((B, FQ + 2, TB * T + 8, 128)).astype(np.float32)
+    w = rng.standard_normal((K, 128)).astype(np.float32) * 0.1
+
+    def kern(x_hbm, w_ref, o_ref, xt, sem):
+        b = pl.program_id(0)
+        fq = pl.program_id(1)
+        tb = pl.program_id(2)
+        cps = []
+        for dfq in range(3):
+            cp = pltpu.make_async_copy(
+                x_hbm.at[b, fq + dfq, pl.ds(tb * T, WIN), :],
+                xt.at[dfq],
+                sem.at[dfq],
+            )
+            cp.start()
+            cps.append(cp)
+        for cp in cps:
+            cp.wait()
+        cols = []
+        for g in range(3, 9):
+            blk, lane = divmod(g, 4)
+            for dt in range(KT):
+                cols.append(
+                    xt[blk, dt:dt + T, lane * CIN:(lane + 1) * CIN]
+                )
+        p = jnp.concatenate(cols, axis=1)
+        acc = jnp.dot(p, w_ref[:], preferred_element_type=jnp.float32)
+        o_ref[0, 0] = acc
+
+    y = pl.pallas_call(
+        kern,
+        grid=(B, FQ, TB),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, T, 128), lambda b, fq, tb: (b, fq, tb, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, FQ, TB * T, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((3, WIN, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+    )(jnp.asarray(xq), jnp.asarray(w))
+    got = np.asarray(y)
+
+    # numpy reference
+    want = np.zeros_like(got)
+    for b in range(B):
+        for fq in range(FQ):
+            for tb in range(TB):
+                cols = []
+                for g in range(3, 9):
+                    blk, lane = divmod(g, 4)
+                    tile = xq[b, fq + blk, tb * T:tb * T + WIN, :]
+                    for dt in range(KT):
+                        cols.append(
+                            tile[dt:dt + T, lane * CIN:(lane + 1) * CIN]
+                        )
+                p = np.concatenate(cols, axis=1)
+                want[b, fq, tb * T:(tb + 1) * T] = p @ w
+    err = float(np.max(np.abs(got - want)))
+    scale = float(np.max(np.abs(want))) + 1e-9
+    sys.stderr.write(f"mini_kernel rel err {err / scale:.3g}\n")
+    return "ok" if err / scale < 2e-2 else f"WRONG_NUMERICS({err / scale:.3g})"
+
+
 PROBES = [
     "concat_full_lane", "concat_lane_off", "scratch_write",
     "stack_reshape", "dma_assemble", "matmul_after_concat",
+    "matmul_after_scratch", "mini_kernel",
 ]
 
 
@@ -177,10 +284,23 @@ def main() -> None:
     for name in names:
         fn = globals()[f"probe_{name}"]
         try:
-            if name == "matmul_after_concat":
+            if name == "mini_kernel":
+                results[name] = fn(x)
+                continue
+            if name.startswith("matmul_after"):
                 y, w = fn(x)
-                ok = bool(np.allclose(np.asarray(y), want @ np.asarray(w),
-                                      atol=1e-3))
+                got = np.asarray(y)
+                exp = want @ np.asarray(w)
+                d = np.abs(got - exp)
+                ok = bool(np.allclose(got, exp, atol=1e-3))
+                if not ok:
+                    bad_r = np.where(d.max(1) > 1e-3)[0]
+                    bad_c = np.where(d.max(0) > 1e-3)[0]
+                    sys.stderr.write(
+                        f"{name}: max={d.max():.3g} rows "
+                        f"{bad_r[:6].tolist()}(n={len(bad_r)}) cols "
+                        f"{bad_c[:6].tolist()}(n={len(bad_c)})\n"
+                    )
             elif name == "concat_lane_off":
                 y = fn(x)
                 got = np.asarray(y)

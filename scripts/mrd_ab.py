@@ -105,19 +105,31 @@ def run_raw(x, key):
 
 
 def run_pallas(x, key):
-    """Same stack through the fused Pallas spec_conv2d kernel."""
-    from stylish_tts_tpu.ops.spec_conv import spec_conv2d
+    """Same stack through the round-4 packed-frequency Pallas kernel:
+    conv_0 (cin=1, negligible FLOPs) and the cout=1 head stay XLA; the
+    four C=32 conv layers run fused and lane-dense."""
+    from stylish_tts_tpu.ops.spec_conv import (
+        pack_freq, spec_conv2d_packed, unpack_freq,
+    )
 
     params = make_params(key, [x.shape[-1], 32, 32, 32, 32])
+    F = x.shape[1]
 
     def loss(ps, xin):
-        y = xin
-        acc = 0.0
-        for (w, g, b), ((_kf, _kt), s) in zip(ps[:-1], SPECS):
-            y = spec_conv2d(y, weightnorm_scale(w, g), b, s[1], 0.1)
-            acc = acc + jnp.sum(jnp.abs(y))
+        w, g, b = ps[0]
+        y = jax.nn.leaky_relu(
+            conv_raw(xin, weightnorm_scale(w, g), b, SPECS[0][1]), 0.1
+        )
+        acc = jnp.sum(jnp.abs(y))
+        yq = pack_freq(y)
+        for (w, g, b), ((_kf, _kt), s) in zip(ps[1:-1], SPECS[1:]):
+            yq = spec_conv2d_packed(
+                yq, weightnorm_scale(w, g), b, F, s[1], 0.1
+            )
+            acc = acc + jnp.sum(jnp.abs(yq))
+        y = unpack_freq(yq, F, 32)
         w, g, b = ps[-1]
-        y = spec_conv2d(y, weightnorm_scale(w, g), b, 1, None)
+        y = conv_raw(y, weightnorm_scale(w, g), b, (1, 1))
         return jnp.sum(y ** 2) + acc
 
     return params, jax.jit(jax.value_and_grad(loss))

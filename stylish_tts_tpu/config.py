@@ -166,6 +166,11 @@ class ModelConfig(BaseModel):
     # bound the per-chip batch size; recompute-in-backward trades cheap
     # conv FLOPs for that HBM
     remat_flow: bool = False
+    # compute the MRD's C=32 conv layers through the fused packed-
+    # frequency Pallas kernel (ops/spec_conv.py) — the r3 trace put this
+    # stack at ~72% of the acoustic step at <25% lane utilisation.
+    # TPU-only; ignored (falls back to XLA convs) on CPU backends.
+    mrd_pallas: bool = False
 
     text_aligner: TextAlignerConfig = TextAlignerConfig()
     decoder: DecoderConfig = DecoderConfig()

@@ -65,7 +65,9 @@ def build_models(model_config: ModelConfig) -> Dict[str, nn.Module]:
             max_conv_dim=mc.mel_style_encoder.max_channels,
             skip_last_downsample=mc.mel_style_encoder.skip_downsample,
         ),
-        "mrd": MultiResolutionDiscriminator(resolution_count=3),
+        "mrd": MultiResolutionDiscriminator(
+            resolution_count=3, pallas=mc.mrd_pallas
+        ),
         "mpd": MultiPeriodDiscriminator(),
         "hubert_encoder": HubertEncoder(mc),
         "cfm_mel_decoder": CfmMelDecoder(

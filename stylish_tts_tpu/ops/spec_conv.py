@@ -1,235 +1,114 @@
-"""Pallas TPU kernel for the SpecDiscriminator conv2d layers.
+"""Pallas TPU kernel for the SpecDiscriminator conv2d layers (round 4).
 
-Why: XLA TPU lowers a channels-last conv2d with C_in=C_out=32 into one
-matmul per kernel tap with K=32, N=32 — 4x lane waste on both MXU axes —
-and the round-3 device trace put the MRD at 520 ms of the 723 ms acoustic
-train step (~2.4% MXU efficiency on convs the step spends most of its
-time in).  Reference counterpart: the torch discriminator conv stack,
-/root/reference/src/stylish_tts/train/models/discriminator.py:31-99 (cuDNN
-picks implicit-GEMM kernels on CUDA; this module is the TPU analogue).
+Why: XLA lowers the channels-last C_in=C_out=32 convs into matmuls with
+K=32, N=32 — 4x lane waste on both MXU axes — and the round-3 device
+trace put the MRD stack at 520 ms of the 723 ms acoustic train step.
+Reference counterpart: the torch discriminator conv stack,
+/root/reference/src/stylish_tts/train/models/discriminator.py:31-99
+(cuDNN picks implicit-GEMM kernels on CUDA; this is the TPU analogue).
 
-Design (per output block of 4 consecutive freq rows x T_tile times):
-  * patches are assembled IN VMEM from a [kf+3, stride*T_tile+kt-1+8]
-    input tile (zero margins give padding semantics for free), giving one
-    MXU matmul  [T_tile, K] @ [K, 128]  with
-        K = (kf+3) * kt * C_in          (dense, 50% structural zeros)
-        N = 4 freq phases x C_out = 128 (dense lanes)
-  * bias + leaky_relu fused into the forward kernel (the fmap IS the
-    kernel output; leaky's slope mask is recovered from the output sign).
-  * custom_vjp: dx reuses the forward kernel on the stride-dilated
-    upstream gradient with rotated weights; dW is a second kernel
-    accumulating P^T @ dY over the whole grid in f32.
+Round-4 redesign — PACKED-FREQUENCY layout (the r3 kernel died in Mosaic
+on its stride-2 lane-pairing gather; every idiom here was compile-probed
+on the chip first, scripts/mosaic_probe.py):
 
-Weight layout stays the torch/flax-parity (kf, kt, C_in, C_out); packing
-to the kernel's [K, 128] form happens in jnp (tiny tensors).
+  * activations live as  xq[b, fq, t, p*C+c] = x[b, 4*fq+p, t, c] —
+    4 freq rows share one 128-wide lane vector, so every HBM byte moved
+    is useful (the unpacked layout wastes 3/4 of each lane).
+  * one output block = [T_TILE time, 128 lanes (4 freq phases x 32 ch)]
+    computed by ONE MXU matmul  [T_TILE, K] @ [K, 128]  with
+    K = (4 + kf - 1) * kt * C  (kf=3, kt=9 -> K=1728; 50% structural
+    zeros from the phase packing, same as an im2col of the 4 phases).
+  * the input tile is 3 freq-blocks x (T_TILE + margin) fetched by plain
+    static-size DMAs at grid-linear offsets — the array is pre-padded in
+    XLA (1 zero freq-block each side, time margins) so the kernel has NO
+    clamps, NO branches, NO masks on the fetch path.
+  * stride-2 time is handled by an XLA even/odd pre-split (two packed
+    arrays), which keeps every in-kernel slice full-lane and static —
+    the construct that broke Mosaic in r3 is gone entirely.
+  * bias + leaky_relu fused; the last freq block's padding phases are
+    zeroed in-kernel so garbage never leaks across layers or into the
+    feature-matching loss.
+  * custom_vjp: dx reuses this forward kernel (rotated io-swapped
+    weights, stride-dilated upstream grad); dW is a second kernel
+    accumulating P^T @ dY in f32 across the grid.
+
+Weight layout stays torch/flax-parity (kf, kt, C_in, C_out); packing to
+[K, 128] happens in jnp (tiny tensors).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-PHASE = 4          # freq rows computed per matmul (N = PHASE * C_out)
-T_TILE = 256       # output time positions per block
-MARGIN = 8         # zero margin on the time tile (4 left + 4 right)
+PHASE = 4          # freq rows per lane vector (4 * 32 ch = 128 lanes)
+TM = 8             # time margin on fetched tiles
+
+
+def _choose_tile(tout: int) -> int:
+    """Pick the block length minimising tail waste: larger tiles
+    amortise the per-block DMA/setup overhead, but the last block pads
+    to a full tile."""
+    best, best_cost = 256, None
+    for cand in (256, 384, 512, 768, 1024):
+        import math
+        blocks = math.ceil(tout / cand)
+        cost = blocks * cand + blocks * 160  # padded slots + per-block tax
+        if best_cost is None or cost < best_cost:
+            best, best_cost = cand, cost
+    return best
 
 
 def _rows(kf: int) -> int:
     return PHASE + kf - 1  # freq rows feeding one 4-row output block
 
 
+def pack_freq(x: jax.Array, phase: int = PHASE) -> jax.Array:
+    """[B, F, T, C] -> [B, ceil(F/phase), T, phase*C], zero-padded rows."""
+    b, f, t, c = x.shape
+    pad = (-f) % phase
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        f += pad
+    x = x.reshape(b, f // phase, phase, t, c)
+    return x.transpose(0, 1, 3, 2, 4).reshape(b, f // phase, t, phase * c)
+
+
+def unpack_freq(xq: jax.Array, f: int, c: int) -> jax.Array:
+    """Inverse of pack_freq: [B, FQ, T, phase*C] -> [B, f, T, C]."""
+    b, fq, t, pc = xq.shape
+    phase = pc // c
+    x = xq.reshape(b, fq, t, phase, c).transpose(0, 1, 3, 2, 4)
+    return x.reshape(b, fq * phase, t, c)[:, :f]
+
+
 def pack_weights(w: jax.Array, phase: int = PHASE) -> jax.Array:
-    """(kf, kt, cin, cout) -> [rows*kt*cin, phase*cout] with the block
-    structure W'[(slot, dt, ci), (p, co)] = w[slot - p, dt, ci, co]."""
+    """(kf, kt, cin, cout) -> [kt, rows*cin, phase*cout], tap-major:
+    W'[dt][(slot, ci), (p, co)] = w[slot - p, dt, ci, co] (zero where
+    slot-p falls outside the kf taps)."""
     kf, kt, cin, cout = w.shape
     rows = phase + kf - 1
     wp = jnp.zeros((rows, kt, cin, phase, cout), w.dtype)
     for p in range(phase):
         wp = wp.at[p:p + kf, :, :, p, :].set(w)
-    return wp.reshape(rows * kt * cin, phase * cout)
+    return wp.transpose(1, 0, 2, 3, 4).reshape(
+        kt, rows * cin, phase * cout
+    )
 
 
 def unpack_wgrad(dwp: jax.Array, kf: int, kt: int, cin: int, cout: int,
                  phase: int = PHASE) -> jax.Array:
-    """Adjoint of pack_weights: [rows*kt*cin, phase*cout] -> (kf,kt,cin,cout)."""
+    """Adjoint of pack_weights: [kt, rows*cin, phase*cout] -> (kf,kt,cin,cout)."""
     rows = phase + kf - 1
-    g = dwp.reshape(rows, kt, cin, phase, cout)
+    g = dwp.reshape(kt, rows, cin, phase, cout).transpose(1, 0, 2, 3, 4)
     dw = jnp.zeros((kf, kt, cin, cout), dwp.dtype)
     for p in range(phase):
         dw = dw + g[p:p + kf, :, :, p, :]
     return dw
-
-
-def _assemble_patches(xt, kf, kt, cin, stride, t_tile, row_valid):
-    """Build P [t_tile, rows*kt*cin] from the VMEM input tile.
-
-    stride 1: xt [rows, win + MARGIN, cin]; input position tin0 + o sits
-    at column o + 4, so every slice start (dt + 4) is static.
-    stride 2: xt is PAIRED [rows, (win+2*MARGIN)//2, 2*cin] (two original
-    time columns per row, absolute-parity aligned); position tin0 + o is
-    at pair (o + MARGIN) // 2, lane block (o + MARGIN) % 2 — both static
-    per dt.  Mosaic requires static sublane offsets; pairing happens in
-    XLA before the kernel, never via an in-kernel shape cast.
-    """
-    rows = _rows(kf)
-    cols = []
-    if stride == 1:
-        for slot in range(rows):
-            v = row_valid[slot].astype(xt.dtype)
-            row = xt[slot]
-            for dt in range(kt):
-                cols.append(row[dt + 4:dt + 4 + t_tile, :] * v)
-    else:
-        for slot in range(rows):
-            v = row_valid[slot].astype(xt.dtype)
-            row = xt[slot]
-            for dt in range(kt):
-                o = dt + MARGIN
-                seg = row[o // 2: o // 2 + t_tile,
-                          (o % 2) * cin:(o % 2) * cin + cin]
-                cols.append(seg * v)
-    return jnp.concatenate(cols, axis=1)  # [t_tile, rows*kt*cin]
-
-
-def _fetch_tile(x_hbm, xt, sem, b, fq, tb, tin0, *,
-                kf, kt, stride, t_tile, F, Tin):
-    """DMA the input tile for block (b, fq, tb) into xt (zero-filled).
-
-    All DMA sizes are static; the dynamic clamp slack rides on the DMA
-    destination offset so the patch slices stay static.  For stride 2 the
-    HBM array is pre-paired [B, F, Tp, 2*cin] and every offset/size is
-    kept even so pairing parity is absolute.  Tin is the ORIGINAL (pre-
-    pairing) time length.  Returns row_valid flags.
-    """
-    rows = _rows(kf)
-    win = stride * t_tile + kt - 1
-    n_tb = pl.num_programs(2)
-    import math as _math
-
-    t_blocks = max(_math.ceil(_conv_out_len(Tin, kt, stride) / t_tile), 1)
-    last_tin0 = (t_blocks - 1) * t_tile * stride - (kt // 2)
-
-    if stride == 1:
-        margin = 4
-        s_last = max(last_tin0, 0)
-        copy_last = max(min(win, Tin - s_last), 0)
-        s_int = jnp.clip(tin0, 0, max(Tin - win, 0))
-        copy_int = min(win, Tin)
-    else:
-        margin = MARGIN  # 8: room for even-alignment slack
-        Tin_even = Tin + (Tin % 2)
-        s_last = max(last_tin0, 0) & ~1
-        copy_last = max(min(win, Tin_even - s_last), 0)
-        copy_last += copy_last % 2
-        s_int = jnp.clip(tin0, 0, max(Tin_even - win, 0)) & ~1
-        copy_int = min(win, Tin_even)
-    is_last = tb == (n_tb - 1)
-    dst_int = margin - (tin0 - s_int)
-    dst_last = margin - (tin0 - s_last)
-
-    xt[:] = jnp.zeros_like(xt[:])
-
-    row_valid = []
-    rowcs = []
-    for slot in range(rows):
-        row = fq * PHASE - (kf // 2) + slot
-        rowcs.append(jnp.clip(row, 0, F - 1))
-        row_valid.append((row >= 0) & (row < F))
-
-    def dma(src_start, dst_start, size):
-        if stride == 2:  # paired units
-            src_start = src_start // 2
-            dst_start = dst_start // 2
-            size = size // 2
-        copies = []
-        for slot in range(rows):
-            cp = pltpu.make_async_copy(
-                x_hbm.at[b, rowcs[slot], pl.ds(src_start, size), :],
-                xt.at[slot, pl.ds(dst_start, size), :],
-                sem.at[slot],
-            )
-            cp.start()
-            copies.append(cp)
-        for cp in copies:
-            cp.wait()
-
-    @pl.when(jnp.logical_not(is_last))
-    def _():
-        dma(s_int, dst_int, copy_int)
-
-    @pl.when(is_last)
-    def _():
-        dma(s_last, dst_last, copy_last)
-
-    return row_valid
-
-
-def _fwd_kernel(x_hbm, wp_ref, bp_ref, y_ref, xt, sem, *,
-                kf, kt, cin, cout, stride, t_tile, F, Tin, leaky):
-    b = pl.program_id(0)
-    fq = pl.program_id(1)
-    tb = pl.program_id(2)
-    rows = _rows(kf)
-    win = stride * t_tile + kt - 1
-
-    tin0 = tb * t_tile * stride - (kt // 2)
-    row_valid = _fetch_tile(
-        x_hbm, xt, sem, b, fq, tb, tin0,
-        kf=kf, kt=kt, stride=stride, t_tile=t_tile, F=F, Tin=Tin,
-    )
-
-    P = _assemble_patches(xt, kf, kt, cin, stride, t_tile, row_valid)
-    acc = jnp.dot(P, wp_ref[:], preferred_element_type=jnp.float32)
-    acc = acc + bp_ref[:].astype(jnp.float32)
-    if leaky is not None:
-        acc = jnp.where(acc >= 0, acc, acc * leaky)
-    # per-phase lane-block writes (a reshape+transpose is an unsupported
-    # Mosaic shape cast)
-    for p in range(PHASE):
-        y_ref[0, p] = acc[:, p * cout:(p + 1) * cout].astype(y_ref.dtype)
-
-
-def _dw_kernel(x_hbm, dy_ref, dwp_ref, xt, sem, *,
-               kf, kt, cin, cout, stride, t_tile, F, Tin, Tout):
-    b = pl.program_id(0)
-    fq = pl.program_id(1)
-    tb = pl.program_id(2)
-    rows = _rows(kf)
-    win = stride * t_tile + kt - 1
-
-    tin0 = tb * t_tile * stride - (kt // 2)
-    row_valid = _fetch_tile(
-        x_hbm, xt, sem, b, fq, tb, tin0,
-        kf=kf, kt=kt, stride=stride, t_tile=t_tile, F=F, Tin=Tin,
-    )
-
-    P = _assemble_patches(xt, kf, kt, cin, stride, t_tile, row_valid)
-    dy = dy_ref[0]                                # [PHASE, t_tile, cout]
-    # ragged-edge dy blocks are padded with GARBAGE; mask beyond (F, Tout)
-    prow = jax.lax.broadcasted_iota(jnp.int32, dy.shape, 0)
-    pcol = jax.lax.broadcasted_iota(jnp.int32, dy.shape, 1)
-    valid = ((fq * PHASE + prow) < F) & ((tb * t_tile + pcol) < Tout)
-    dy = jnp.where(valid, dy, jnp.zeros_like(dy))
-    dy = jnp.concatenate([dy[p] for p in range(PHASE)], axis=1)
-    contrib = jax.lax.dot_general(
-        P, dy, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                             # [K, PHASE*cout]
-
-    first = (pl.program_id(0) == 0) & (fq == 0) & (tb == 0)
-
-    @pl.when(first)
-    def _():
-        dwp_ref[:] = contrib
-
-    @pl.when(jnp.logical_not(first))
-    def _():
-        dwp_ref[:] = dwp_ref[:] + contrib
 
 
 def _conv_out_len(tin: int, kt: int, stride: int) -> int:
@@ -237,139 +116,323 @@ def _conv_out_len(tin: int, kt: int, stride: int) -> int:
     return (tin + 2 * pad - kt) // stride + 1
 
 
-def _pair_input(x, stride):
-    """For stride 2, merge time pairs into lanes in XLA: [B,F,T,C] ->
-    [B,F,ceil(T/2),2C] (a contiguous reshape XLA handles cheaply), plus
-    the paired scratch shape for the kernel."""
-    if stride == 1:
-        return x, None
-    B, F, T, C = x.shape
-    if T % 2:
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, 1), (0, 0)))
-        T += 1
-    return x.reshape(B, F, T // 2, 2 * C), T
+# --------------------------------------------------------------------- #
+# Patch assembly (shared by fwd and dW kernels)
+# --------------------------------------------------------------------- #
 
 
-def _xt_shape(rows, win, cin, stride):
-    if stride == 1:
-        return (rows, win + 4 + 4, cin)
-    return (rows, (win + 2 * MARGIN + 1) // 2, 2 * cin)
+def _tap_patches(xts, slot, kf, kt, cin, stride, t_tile):
+    """Yield (dt, P_dt [t_tile, rows*cin]) patches, one per time tap.
 
+    xts: stride 1 -> (xt,) with xt [3, WIN, PHASE*cin];
+         stride 2 -> (xte, xto) even/odd pre-split tiles, same shape.
 
-def _fwd_call(x, wp, bp, *, kf, kt, stride, cout, leaky, interpret):
-    B, F, Tin, cin = x.shape
-    Tout = _conv_out_len(Tin, kt, stride)
+    Grouping the concatenate BY TAP keeps every concat input at the SAME
+    sublane offset (the tap's shift), which Mosaic accepts in native
+    bf16 — mixed sublane offsets are the r3 "result/input offset
+    mismatch" failure, and pltpu.roll (the other fix) only handles
+    32-bit data.  The matmul then accumulates over the kt taps with
+    K = rows*cin = 192-wide contractions (probe-validated:
+    scripts/mosaic_probe.py + /tmp dt-group probe, rel err ~ bf16).
+    """
+    half = kt // 2
     rows = _rows(kf)
-    fq_blocks = pl.cdiv(F, PHASE)
-    t_blocks = pl.cdiv(Tout, T_TILE)
-    win = stride * T_TILE + kt - 1
-    xt_shape = _xt_shape(rows, win, cin, stride)
-    x_in, _ = _pair_input(x, stride)
+    for dt in range(kt):
+        if stride == 1:
+            arr, start = 0, dt
+        elif (dt - half) % 2 == 0:
+            arr, start = 0, (dt - half) // 2 + 2
+        else:
+            arr, start = 1, (dt - half - 1) // 2 + 2
+        cols = []
+        for g in range(rows):
+            blk, lane = divmod(g + PHASE - (kf // 2), PHASE)
+            lo = lane * cin
+            cols.append(
+                xts[arr][slot, blk, start:start + t_tile, lo:lo + cin]
+            )
+        yield dt, jnp.concatenate(cols, axis=1)
+
+
+def _tile_copies(refs, xts, sems, slot, b, fq, tb, win, t_tile):
+    """DMA descriptors for one block's input tiles into buffer `slot`.
+    Static sizes; offsets are grid-linear (inputs pre-padded in XLA)."""
+    t0 = tb * t_tile  # parity arrays are already stride-resolved
+    out = []
+    for ref, xt, sem in zip(refs, xts, sems):
+        for dfq in range(3):
+            out.append(pltpu.make_async_copy(
+                ref.at[b, fq + dfq, pl.ds(t0, win), :],
+                xt.at[slot, dfq],
+                sem.at[slot, dfq],
+            ))
+    return out
+
+
+def _fetch_pipelined(refs, xts, sems, stride, win, t_tile):
+    """Double-buffered fetch: block N+1's tiles stream in while block N
+    computes (the BlockSpec-driven operands are auto-pipelined by Pallas;
+    these manual ANY-space fetches are not, and the unoverlapped DMA
+    latency dominated the first working version of this kernel).
+
+    Returns the buffer slot holding the CURRENT block's tiles (wait done).
+    """
+    b, fq, tb = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    n_fq, n_tb = pl.num_programs(1), pl.num_programs(2)
+    total = pl.num_programs(0) * n_fq * n_tb
+    step = (b * n_fq + fq) * n_tb + tb
+    slot = jax.lax.rem(step, 2)
+
+    @pl.when(step == 0)
+    def _():
+        for cp in _tile_copies(refs, xts, sems, 0, b, fq, tb, win, t_tile):
+            cp.start()
+
+    # prefetch the NEXT grid step's tiles before blocking on our own
+    nstep = step + 1
+
+    @pl.when(nstep < total)
+    def _():
+        ntb = jax.lax.rem(nstep, n_tb)
+        rem = jax.lax.div(nstep, n_tb)
+        nfq = jax.lax.rem(rem, n_fq)
+        nb = jax.lax.div(rem, n_fq)
+        nslot = jax.lax.rem(nstep, 2)
+        for cp in _tile_copies(
+            refs, xts, sems, nslot, nb, nfq, ntb, win, t_tile
+        ):
+            cp.start()
+
+    for cp in _tile_copies(refs, xts, sems, slot, b, fq, tb, win, t_tile):
+        cp.wait()
+    return slot
+
+
+def _phase_mask(fq, f_rows, cout, shape):
+    """[t_tile, PHASE*cout] mask zeroing phases whose absolute freq row
+    >= f_rows (only bites in the last freq block)."""
+    lane_phase = jax.lax.broadcasted_iota(jnp.int32, shape, 1) // cout
+    return lane_phase < (f_rows - PHASE * fq)
+
+
+# --------------------------------------------------------------------- #
+# Forward kernel
+# --------------------------------------------------------------------- #
+
+
+def _fwd_kernel(*args, kf, kt, cin, cout, stride, f_rows, win, leaky,
+                n_in, t_tile):
+    refs = args[:n_in]
+    wp_ref, bp_ref, y_ref = args[n_in:n_in + 3]
+    scratch = args[n_in + 3:]
+    xts, sems = scratch[:n_in], scratch[n_in:]
+    b, fq, tb = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    slot = _fetch_pipelined(refs, xts, sems, stride, win, t_tile)
+    acc = jnp.zeros((t_tile, PHASE * cout), jnp.float32)
+    for dt, p in _tap_patches(xts, slot, kf, kt, cin, stride, t_tile):
+        acc = acc + jnp.dot(
+            p, wp_ref[dt], preferred_element_type=jnp.float32
+        )
+    acc = acc + bp_ref[:].astype(jnp.float32)
+    if leaky is not None:
+        acc = jnp.where(acc >= 0, acc, acc * leaky)
+    mask = _phase_mask(fq, f_rows, cout, acc.shape)
+    acc = jnp.where(mask, acc, 0.0)
+    y_ref[0, 0] = acc.astype(y_ref.dtype)
+
+
+def _pad_time(xq, stride, t_blocks, kt, t_tile):
+    """Pre-pad (and for stride 2, parity-split) the packed input so every
+    kernel fetch is static and in-bounds.  Returns tuple of HBM arrays.
+
+    Stride 1: left pad = kt//2, so the in-kernel tap-dt slice start is
+    exactly dt.  Stride 2 (kt=9 only): the parity arrays get left pad 2
+    (the most negative parity-space offset).
+    """
+    B, FQ, Tin, L = xq.shape
+    half = kt // 2
+    need = t_blocks * t_tile + TM
+    if stride == 1:
+        x = jnp.pad(
+            xq, ((0, 0), (1, 1), (half, need - Tin - half), (0, 0))
+        )
+        return (x,)
+    assert half == 4, "stride-2 path assumes kt=9 (reference parity)"
+    te = (Tin + 1) // 2
+    if Tin % 2:
+        xq = jnp.pad(xq, ((0, 0), (0, 0), (0, 1), (0, 0)))
+    xe, xo = xq[:, :, 0::2], xq[:, :, 1::2]
+    xe = jnp.pad(xe, ((0, 0), (1, 1), (2, need - te - 2), (0, 0)))
+    xo = jnp.pad(xo, ((0, 0), (1, 1), (2, need - te - 2), (0, 0)))
+    return (xe, xo)
+
+
+def _fwd_call(xq, wp, bp, *, kf, kt, cin, cout, stride, f_rows, leaky,
+              interpret):
+    if interpret is None:  # auto: interpreter on CPU backends
+        interpret = jax.default_backend() == "cpu"
+    B, FQ, Tin, L = xq.shape
+    Tout = _conv_out_len(Tin, kt, stride)
+    t_tile = _choose_tile(Tout)
+    t_blocks = pl.cdiv(Tout, t_tile)
+    win = t_tile + TM
+    ins = _pad_time(xq, stride, t_blocks, kt, t_tile)
+    n_in = len(ins)
 
     kern = functools.partial(
         _fwd_kernel, kf=kf, kt=kt, cin=cin, cout=cout, stride=stride,
-        t_tile=T_TILE, F=F, Tin=Tin, leaky=leaky,
+        f_rows=f_rows, win=win, leaky=leaky, n_in=n_in, t_tile=t_tile,
     )
-    return pl.pallas_call(
+    rows = _rows(kf)
+    y = pl.pallas_call(
         kern,
-        grid=(B, fq_blocks, t_blocks),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),    # x: manual DMA
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # packed weights
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # packed bias
-        ],
+        grid=(B, FQ, t_blocks),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_in
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         out_specs=pl.BlockSpec(
-            (1, PHASE, T_TILE, cout),
+            (1, 1, t_tile, PHASE * cout),
             lambda b, fq, tb: (b, fq, tb, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, F, Tout, cout), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM(xt_shape, x.dtype),
-            pltpu.SemaphoreType.DMA((rows,)),
-        ],
+        out_shape=jax.ShapeDtypeStruct(
+            (B, FQ, t_blocks * t_tile, PHASE * cout), xq.dtype
+        ),
+        scratch_shapes=[pltpu.VMEM((2, 3, win, L), xq.dtype)] * n_in
+        + [pltpu.SemaphoreType.DMA((2, 3))] * n_in,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * F * Tout * rows * kt * cin * cout,
-            bytes_accessed=x.size * x.dtype.itemsize * 2,
+            flops=2 * B * FQ * t_blocks * t_tile * rows * kt * cin
+            * PHASE * cout,
+            bytes_accessed=xq.size * xq.dtype.itemsize * (3 if stride == 1
+                                                          else 3),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x_in, wp, bp)
+    )(*ins, wp, bp)
+    return y[:, :, :Tout]
 
 
-def _dw_call(x, dy, *, kf, kt, stride, cout, interpret):
-    B, F, Tin, cin = x.shape
+# --------------------------------------------------------------------- #
+# dW kernel: accumulate P^T @ dY over the whole grid
+# --------------------------------------------------------------------- #
+
+
+def _dw_kernel(*args, kf, kt, cin, cout, stride, f_rows, win, n_in,
+               t_tile):
+    refs = args[:n_in]
+    dy_ref, dwp_ref = args[n_in:n_in + 2]
+    scratch = args[n_in + 2:]
+    xts, sems = scratch[:n_in], scratch[n_in:]
+    b, fq, tb = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    slot = _fetch_pipelined(refs, xts, sems, stride, win, t_tile)
+    dy = dy_ref[0, 0]
+    first = (b == 0) & (fq == 0) & (tb == 0)
+    for dt, p in _tap_patches(xts, slot, kf, kt, cin, stride, t_tile):
+        contrib = jax.lax.dot_general(
+            p, dy, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(first)
+        def _(dt=dt, contrib=contrib):
+            dwp_ref[dt] = contrib
+
+        @pl.when(jnp.logical_not(first))
+        def _(dt=dt, contrib=contrib):
+            dwp_ref[dt] = dwp_ref[dt] + contrib
+
+
+def _dw_call(xq, dy, *, kf, kt, cin, cout, stride, f_rows, interpret):
+    if interpret is None:  # auto: interpreter on CPU backends
+        interpret = jax.default_backend() == "cpu"
+    B, FQ, Tin, L = xq.shape
     Tout = dy.shape[2]
     rows = _rows(kf)
-    K = rows * kt * cin
-    fq_blocks = pl.cdiv(F, PHASE)
-    t_blocks = pl.cdiv(Tout, T_TILE)
-    win = stride * T_TILE + kt - 1
-    xt_shape = _xt_shape(rows, win, cin, stride)
-    x_in, _ = _pair_input(x, stride)
+    K = rows * cin
+    t_tile = _choose_tile(Tout)
+    t_blocks = pl.cdiv(Tout, t_tile)
+    win = t_tile + TM
+    ins = _pad_time(xq, stride, t_blocks, kt, t_tile)
+    n_in = len(ins)
+    dy = jnp.pad(
+        dy, ((0, 0), (0, 0), (0, t_blocks * t_tile - Tout), (0, 0))
+    )
 
     kern = functools.partial(
         _dw_kernel, kf=kf, kt=kt, cin=cin, cout=cout, stride=stride,
-        t_tile=T_TILE, F=F, Tin=Tin, Tout=Tout,
+        f_rows=f_rows, win=win, n_in=n_in, t_tile=t_tile,
     )
     return pl.pallas_call(
         kern,
-        grid=(B, fq_blocks, t_blocks),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+        grid=(B, FQ, t_blocks),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_in
+        + [
             pl.BlockSpec(
-                (1, PHASE, T_TILE, cout),
+                (1, 1, t_tile, PHASE * cout),
                 lambda b, fq, tb: (b, fq, tb, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (K, PHASE * cout),
-            lambda b, fq, tb: (0, 0),
+            (kt, K, PHASE * cout), lambda b, fq, tb: (0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((K, PHASE * cout), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM(xt_shape, x.dtype),
-            pltpu.SemaphoreType.DMA((rows,)),
-        ],
+        out_shape=jax.ShapeDtypeStruct(
+            (kt, K, PHASE * cout), jnp.float32
+        ),
+        scratch_shapes=[pltpu.VMEM((2, 3, win, L), xq.dtype)] * n_in
+        + [pltpu.SemaphoreType.DMA((2, 3))] * n_in,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(x_in, dy)
+    )(*ins, dy)
 
 
-@functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5)
-)
-def spec_conv2d(x, w, b, stride_t: int = 1, leaky: float | None = 0.1,
-                interpret: bool = False):
-    """Fused conv2d(+bias+leaky_relu) for SpecDiscriminator layers.
+# --------------------------------------------------------------------- #
+# Public op (custom VJP)
+# --------------------------------------------------------------------- #
 
-    x: [B, F, T, cin] channels-last; w: (kf, kt, cin, cout) with
-    torch-style symmetric padding (kf//2, kt//2) and stride (1, stride_t).
-    leaky=None disables the activation (the score head).
+
+def _freq_mask(f_rows, fq, cout, dtype):
+    """[FQ, PHASE*cout] validity mask for packed freq rows (XLA side)."""
+    phase = jnp.arange(PHASE * cout) // cout
+    rows = jnp.arange(fq)[:, None] * PHASE + phase[None, :]
+    return (rows < f_rows).astype(dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def spec_conv2d_packed(xq, w, b, f_rows: int, stride_t: int = 1,
+                       leaky: float | None = 0.1,
+                       interpret: bool | None = None):
+    """Fused conv2d(+bias+leaky_relu) on the packed-frequency layout.
+
+    xq: [B, FQ, T, PHASE*cin] from pack_freq; w: (kf, kt, cin, cout)
+    torch-parity weights with symmetric padding (kf//2, kt//2) and stride
+    (1, stride_t); f_rows = true freq rows (pre-packing F).  Returns the
+    packed output [B, FQ, Tout, PHASE*cout] with padding phases zeroed.
+    leaky=None disables the activation.
     """
     kf, kt, cin, cout = w.shape
-    wp = pack_weights(w).astype(x.dtype)
-    bp = jnp.tile(b, PHASE).astype(x.dtype)
+    wp = pack_weights(w).astype(xq.dtype)
+    bp = jnp.tile(b, PHASE).astype(xq.dtype)
     return _fwd_call(
-        x, wp, bp, kf=kf, kt=kt, stride=stride_t, cout=cout,
-        leaky=leaky, interpret=interpret,
+        xq, wp, bp, kf=kf, kt=kt, cin=cin, cout=cout, stride=stride_t,
+        f_rows=f_rows, leaky=leaky, interpret=interpret,
     )
 
 
-def _spec_conv2d_fwd(x, w, b, stride_t, leaky, interpret):
-    y = spec_conv2d(x, w, b, stride_t, leaky, interpret)
-    return y, (x, w, y)
+def _packed_fwd(xq, w, b, f_rows, stride_t, leaky, interpret):
+    y = spec_conv2d_packed(xq, w, b, f_rows, stride_t, leaky, interpret)
+    return y, (xq, w, y)
 
 
-def _spec_conv2d_bwd(stride_t, leaky, interpret, res, dy):
-    x, w, y = res
+def _packed_bwd(f_rows, stride_t, leaky, interpret, res, dy):
+    xq, w, y = res
     kf, kt, cin, cout = w.shape
 
     if leaky is not None:
@@ -379,46 +442,50 @@ def _spec_conv2d_bwd(stride_t, leaky, interpret, res, dy):
         dpre = dy * slope
     else:
         dpre = dy
+    # padding phases carry no gradient (their fwd output is exactly 0)
+    dpre = dpre * _freq_mask(f_rows, xq.shape[1], cout, dpre.dtype)[
+        None, :, None, :
+    ]
 
-    db = jnp.sum(dpre, axis=(0, 1, 2)).astype(jnp.float32)
+    db_packed = jnp.sum(dpre, axis=(0, 1, 2)).astype(jnp.float32)
+    db = jnp.sum(db_packed.reshape(PHASE, cout), axis=0)
 
-    # dW: accumulate P^T @ dY over the grid, then unpack phases
     dwp = _dw_call(
-        x, dpre.astype(x.dtype), kf=kf, kt=kt, stride=stride_t,
-        cout=cout, interpret=interpret,
+        xq, dpre.astype(xq.dtype), kf=kf, kt=kt, cin=cin, cout=cout,
+        stride=stride_t, f_rows=f_rows, interpret=interpret,
     )
     dw = unpack_wgrad(dwp, kf, kt, cin, cout)
 
-    # dx: transposed conv == forward stride-1 kernel on the stride-dilated
-    # dpre with spatially-rotated, io-swapped weights.  For odd kernels
-    # (kf, kt both odd here) with symmetric k//2 padding the grids align
-    # exactly: dx[tau] = sum_e dyd[tau + e - pad] * w[kt-1-e], no shift.
-    w_rot = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)  # (kf,kt,cout,cin)
+    # dx: transposed conv == this forward kernel at stride 1 on the
+    # stride-dilated upstream grad with rotated, io-swapped weights (the
+    # freq axis is symmetric kf with kf//2 padding, so the same phase
+    # packing applies)
+    w_rot = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
     if stride_t > 1:
-        B, F, Tout, _ = dpre.shape
-        dil = jnp.zeros((B, F, Tout, stride_t, cout), dpre.dtype)
+        B, FQ, Tout, Lc = dpre.shape
+        dil = jnp.zeros((B, FQ, Tout, stride_t, Lc), dpre.dtype)
         dil = dil.at[:, :, :, 0, :].set(dpre)
-        dyd = dil.reshape(B, F, Tout * stride_t, cout)
+        dyd = dil.reshape(B, FQ, Tout * stride_t, Lc)
     else:
         dyd = dpre
-    Tin = x.shape[2]
+    Tin = xq.shape[2]
     wp_rot = pack_weights(w_rot).astype(dyd.dtype)
     bz = jnp.zeros((PHASE * cin,), dyd.dtype)
     dx_full = _fwd_call(
-        dyd, wp_rot, bz, kf=kf, kt=kt, stride=1, cout=cin,
-        leaky=None, interpret=interpret,
+        dyd, wp_rot, bz, kf=kf, kt=kt, cin=cout, cout=cin, stride=1,
+        f_rows=f_rows, leaky=None, interpret=interpret,
     )
-    dx = dx_full[:, :, :Tin, :].astype(x.dtype)
+    dx = dx_full[:, :, :Tin, :].astype(xq.dtype)
     return dx, dw.astype(w.dtype), db.astype(w.dtype)
 
 
-spec_conv2d.defvjp(_spec_conv2d_fwd, _spec_conv2d_bwd)
+spec_conv2d_packed.defvjp(_packed_fwd, _packed_bwd)
 
 
 def spec_conv2d_reference(x, w, b, stride_t: int = 1,
                           leaky: float | None = 0.1):
-    """lax.conv_general_dilated reference (the pre-kernel production path
-    and the CPU fallback)."""
+    """lax.conv_general_dilated reference on the UNPACKED layout (the
+    non-pallas production path and the CPU fallback)."""
     kf, kt = w.shape[0], w.shape[1]
     y = jax.lax.conv_general_dilated(
         x, w.astype(x.dtype), window_strides=(1, stride_t),
