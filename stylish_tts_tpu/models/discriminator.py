@@ -130,7 +130,20 @@ class SpecDiscriminator(nn.Module):
             wn = (kernel.astype(jnp.float32) / norm * scale).astype(
                 kernel.dtype
             )
-            yq = spec_conv2d_packed(yq, wn, bias, t_rows, s[1], LRELU_SLOPE)
+            if self.is_initializing():
+                # params are declared explicitly above; skip the TPU
+                # kernel during init (init runs host-side under
+                # jax.default_device(cpu) — train/init.py:80-87 — where
+                # non-interpret pallas cannot lower)
+                tout = (yq.shape[2] + s[1] - 1) // s[1]
+                yq = jnp.zeros(
+                    (yq.shape[0], yq.shape[1], tout, yq.shape[3]),
+                    yq.dtype,
+                )
+            else:
+                yq = spec_conv2d_packed(
+                    yq, wn, bias, t_rows, s[1], LRELU_SLOPE
+                )
             fmap.append(yq)
         y = unpack_freq(yq, t_rows, 32)
         y = nn.WeightNorm(

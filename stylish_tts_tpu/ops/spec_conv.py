@@ -7,55 +7,62 @@ Reference counterpart: the torch discriminator conv stack,
 /root/reference/src/stylish_tts/train/models/discriminator.py:31-99
 (cuDNN picks implicit-GEMM kernels on CUDA; this is the TPU analogue).
 
-Round-4 redesign — PACKED-FREQUENCY layout (the r3 kernel died in Mosaic
+Round-4 design — PACKED-FREQUENCY layout (the r3 kernel died in Mosaic
 on its stride-2 lane-pairing gather; every idiom here was compile-probed
 on the chip first, scripts/mosaic_probe.py):
 
   * activations live as  xq[b, fq, t, p*C+c] = x[b, 4*fq+p, t, c] —
-    4 freq rows share one 128-wide lane vector, so every HBM byte moved
-    is useful (the unpacked layout wastes 3/4 of each lane).
-  * one output block = [T_TILE time, 128 lanes (4 freq phases x 32 ch)]
-    computed by ONE MXU matmul  [T_TILE, K] @ [K, 128]  with
-    K = (4 + kf - 1) * kt * C  (kf=3, kt=9 -> K=1728; 50% structural
-    zeros from the phase packing, same as an im2col of the 4 phases).
-  * the input tile is 3 freq-blocks x (T_TILE + margin) fetched by plain
-    static-size DMAs at grid-linear offsets — the array is pre-padded in
-    XLA (1 zero freq-block each side, time margins) so the kernel has NO
-    clamps, NO branches, NO masks on the fetch path.
-  * stride-2 time is handled by an XLA even/odd pre-split (two packed
-    arrays), which keeps every in-kernel slice full-lane and static —
-    the construct that broke Mosaic in r3 is gone entirely.
-  * bias + leaky_relu fused; the last freq block's padding phases are
-    zeroed in-kernel so garbage never leaks across layers or into the
+    4 rows of the kf(=3)-tap axis share one 128-wide lane vector, so
+    every HBM byte moved is useful (the unpacked layout wastes 3/4 of
+    each lane).  In the discriminator the PACKED axis is the model's
+    time-frame axis and the TILED axis is frequency (kernel (3, 9),
+    stride (1, 2)) — the op itself is orientation-agnostic.
+  * each grid step computes FQ_TILE consecutive packed blocks x t_tile
+    tiled positions.  Per output block: kt matmuls
+    [t_tile, rows*cin(=192)] @ [192, 128] accumulated over the taps.
+    Grouping the patch concatenate BY TAP keeps every concat input at
+    the SAME sublane offset, which Mosaic accepts in native bf16 (mixed
+    sublane offsets are the r3 "offset mismatch" failure, and
+    pltpu.roll — the other fix — only handles 32-bit data).
+  * the input tile ((FQ_TILE+2) packed blocks x window) arrives as ONE
+    static-size DMA per parity array at grid-linear offsets — inputs are
+    pre-padded in XLA so the kernel has no clamps/branches/masks on the
+    fetch path — double-buffered across grid steps.
+  * stride-2 on the tiled axis via an XLA even/odd parity pre-split (two
+    packed arrays), keeping every in-kernel slice full-lane and static.
+  * bias + leaky_relu fused; the tail block's padding phases are zeroed
+    in-kernel so garbage never leaks across layers or into the
     feature-matching loss.
   * custom_vjp: dx reuses this forward kernel (rotated io-swapped
     weights, stride-dilated upstream grad); dW is a second kernel
-    accumulating P^T @ dY in f32 across the grid.
+    accumulating tap-major P^T @ dY in f32 across the grid.
 
 Weight layout stays torch/flax-parity (kf, kt, C_in, C_out); packing to
-[K, 128] happens in jnp (tiny tensors).
+[kt, rows*cin, PHASE*cout] happens in jnp (tiny tensors).
 """
 
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-PHASE = 4          # freq rows per lane vector (4 * 32 ch = 128 lanes)
-TM = 8             # time margin on fetched tiles
+PHASE = 4          # packed rows per lane vector (4 * 32 ch = 128 lanes)
+TM = 8             # margin on fetched tiles along the tiled axis
+VMEM_TILE_BUDGET = 4 * 1024 * 1024  # input-tile double-buffer budget
 
 
 def _choose_tile(tout: int) -> int:
-    """Pick the block length minimising tail waste: larger tiles
-    amortise the per-block DMA/setup overhead, but the last block pads
-    to a full tile."""
+    """Block length on the tiled axis: for short axes use one snug
+    block; otherwise balance tail waste against per-block overhead."""
+    if tout <= 1024:
+        return -(-tout // 16) * 16
     best, best_cost = 256, None
     for cand in (256, 384, 512, 768, 1024):
-        import math
         blocks = math.ceil(tout / cand)
         cost = blocks * cand + blocks * 160  # padded slots + per-block tax
         if best_cost is None or cost < best_cost:
@@ -63,8 +70,19 @@ def _choose_tile(tout: int) -> int:
     return best
 
 
+def _choose_fq_tile(fq: int, win: int, lanes: int, itemsize: int,
+                    n_in: int, t_tile: int) -> int:
+    """Packed blocks per grid step, bounded by (a) the double-buffer
+    VMEM budget for input tiles and (b) an M-axis cap so the stacked
+    patch/accumulator working set (P_dt + f32 acc + output block, all
+    proportional to fq_tile*t_tile) stays well under scoped VMEM."""
+    per_block = 2 * n_in * win * lanes * itemsize
+    fit = VMEM_TILE_BUDGET // max(per_block, 1) - 2
+    return max(1, min(8, fq, fit))
+
+
 def _rows(kf: int) -> int:
-    return PHASE + kf - 1  # freq rows feeding one 4-row output block
+    return PHASE + kf - 1  # packed rows feeding one 4-row output block
 
 
 def pack_freq(x: jax.Array, phase: int = PHASE) -> jax.Array:
@@ -121,20 +139,13 @@ def _conv_out_len(tin: int, kt: int, stride: int) -> int:
 # --------------------------------------------------------------------- #
 
 
-def _tap_patches(xts, slot, kf, kt, cin, stride, t_tile):
-    """Yield (dt, P_dt [t_tile, rows*cin]) patches, one per time tap.
-
-    xts: stride 1 -> (xt,) with xt [3, WIN, PHASE*cin];
-         stride 2 -> (xte, xto) even/odd pre-split tiles, same shape.
-
-    Grouping the concatenate BY TAP keeps every concat input at the SAME
-    sublane offset (the tap's shift), which Mosaic accepts in native
-    bf16 — mixed sublane offsets are the r3 "result/input offset
-    mismatch" failure, and pltpu.roll (the other fix) only handles
-    32-bit data.  The matmul then accumulates over the kt taps with
-    K = rows*cin = 192-wide contractions (probe-validated:
-    scripts/mosaic_probe.py + /tmp dt-group probe, rel err ~ bf16).
-    """
+def _tap_patches(xts, slot, f, kf, kt, cin, stride, t_tile):
+    """Yield (dt, P_dt [t_tile, rows*cin]) patches for local packed
+    block f, one per tap dt.  All concat inputs of a tap share its
+    sublane offset (bf16-legal; mixed offsets are the r3 Mosaic
+    failure).  Per-block (rather than M-stacked) assembly keeps the
+    VMEM working set small enough to run fq_tile=8 everywhere — measured
+    faster than M-stacking, whose VMEM forced tiny fq_tiles."""
     half = kt // 2
     rows = _rows(kf)
     for dt in range(kt):
@@ -149,70 +160,71 @@ def _tap_patches(xts, slot, kf, kt, cin, stride, t_tile):
             blk, lane = divmod(g + PHASE - (kf // 2), PHASE)
             lo = lane * cin
             cols.append(
-                xts[arr][slot, blk, start:start + t_tile, lo:lo + cin]
+                xts[arr][slot, f + blk, start:start + t_tile,
+                         lo:lo + cin]
             )
         yield dt, jnp.concatenate(cols, axis=1)
 
 
-def _tile_copies(refs, xts, sems, slot, b, fq, tb, win, t_tile):
-    """DMA descriptors for one block's input tiles into buffer `slot`.
-    Static sizes; offsets are grid-linear (inputs pre-padded in XLA)."""
+def _tile_copies(refs, xts, sems, slot, b, fqt, tb, win, t_tile,
+                 fq_tile):
+    """One DMA per parity array: (fq_tile+2) consecutive packed blocks x
+    win.  Static sizes; offsets grid-linear (inputs pre-padded in XLA)."""
     t0 = tb * t_tile  # parity arrays are already stride-resolved
+    f0 = fqt * fq_tile
     out = []
     for ref, xt, sem in zip(refs, xts, sems):
-        for dfq in range(3):
-            out.append(pltpu.make_async_copy(
-                ref.at[b, fq + dfq, pl.ds(t0, win), :],
-                xt.at[slot, dfq],
-                sem.at[slot, dfq],
-            ))
+        out.append(pltpu.make_async_copy(
+            ref.at[b, pl.ds(f0, fq_tile + 2), pl.ds(t0, win), :],
+            xt.at[slot],
+            sem.at[slot],
+        ))
     return out
 
 
-def _fetch_pipelined(refs, xts, sems, stride, win, t_tile):
+def _fetch_pipelined(refs, xts, sems, win, t_tile, fq_tile):
     """Double-buffered fetch: block N+1's tiles stream in while block N
-    computes (the BlockSpec-driven operands are auto-pipelined by Pallas;
-    these manual ANY-space fetches are not, and the unoverlapped DMA
-    latency dominated the first working version of this kernel).
-
-    Returns the buffer slot holding the CURRENT block's tiles (wait done).
-    """
-    b, fq, tb = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    n_fq, n_tb = pl.num_programs(1), pl.num_programs(2)
-    total = pl.num_programs(0) * n_fq * n_tb
-    step = (b * n_fq + fq) * n_tb + tb
+    computes (BlockSpec operands are auto-pipelined by Pallas; manual
+    ANY-space fetches are not).  Returns the current buffer slot."""
+    b, fqt, tb = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    n_fqt, n_tb = pl.num_programs(1), pl.num_programs(2)
+    total = pl.num_programs(0) * n_fqt * n_tb
+    step = (b * n_fqt + fqt) * n_tb + tb
     slot = jax.lax.rem(step, 2)
 
     @pl.when(step == 0)
     def _():
-        for cp in _tile_copies(refs, xts, sems, 0, b, fq, tb, win, t_tile):
+        for cp in _tile_copies(
+            refs, xts, sems, 0, b, fqt, tb, win, t_tile, fq_tile
+        ):
             cp.start()
 
-    # prefetch the NEXT grid step's tiles before blocking on our own
     nstep = step + 1
 
     @pl.when(nstep < total)
     def _():
         ntb = jax.lax.rem(nstep, n_tb)
         rem = jax.lax.div(nstep, n_tb)
-        nfq = jax.lax.rem(rem, n_fq)
-        nb = jax.lax.div(rem, n_fq)
+        nfqt = jax.lax.rem(rem, n_fqt)
+        nb = jax.lax.div(rem, n_fqt)
         nslot = jax.lax.rem(nstep, 2)
         for cp in _tile_copies(
-            refs, xts, sems, nslot, nb, nfq, ntb, win, t_tile
+            refs, xts, sems, nslot, nb, nfqt, ntb, win, t_tile, fq_tile
         ):
             cp.start()
 
-    for cp in _tile_copies(refs, xts, sems, slot, b, fq, tb, win, t_tile):
+    for cp in _tile_copies(
+        refs, xts, sems, slot, b, fqt, tb, win, t_tile, fq_tile
+    ):
         cp.wait()
     return slot
 
 
-def _phase_mask(fq, f_rows, cout, shape):
-    """[t_tile, PHASE*cout] mask zeroing phases whose absolute freq row
-    >= f_rows (only bites in the last freq block)."""
+def _phase_mask(fq_abs, f_rows, cout, shape):
+    """[t_tile, PHASE*cout] mask zeroing phases whose absolute packed row
+    >= f_rows (only bites in the tail block)."""
     lane_phase = jax.lax.broadcasted_iota(jnp.int32, shape, 1) // cout
-    return lane_phase < (f_rows - PHASE * fq)
+    return lane_phase < (f_rows - PHASE * fq_abs)
 
 
 # --------------------------------------------------------------------- #
@@ -221,41 +233,43 @@ def _phase_mask(fq, f_rows, cout, shape):
 
 
 def _fwd_kernel(*args, kf, kt, cin, cout, stride, f_rows, win, leaky,
-                n_in, t_tile):
+                n_in, t_tile, fq_tile):
     refs = args[:n_in]
     wp_ref, bp_ref, y_ref = args[n_in:n_in + 3]
     scratch = args[n_in + 3:]
     xts, sems = scratch[:n_in], scratch[n_in:]
-    b, fq, tb = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    fqt = pl.program_id(1)
 
-    slot = _fetch_pipelined(refs, xts, sems, stride, win, t_tile)
-    acc = jnp.zeros((t_tile, PHASE * cout), jnp.float32)
-    for dt, p in _tap_patches(xts, slot, kf, kt, cin, stride, t_tile):
-        acc = acc + jnp.dot(
-            p, wp_ref[dt], preferred_element_type=jnp.float32
-        )
-    acc = acc + bp_ref[:].astype(jnp.float32)
-    if leaky is not None:
-        acc = jnp.where(acc >= 0, acc, acc * leaky)
-    mask = _phase_mask(fq, f_rows, cout, acc.shape)
-    acc = jnp.where(mask, acc, 0.0)
-    y_ref[0, 0] = acc.astype(y_ref.dtype)
+    slot = _fetch_pipelined(refs, xts, sems, win, t_tile, fq_tile)
+    for f in range(fq_tile):
+        acc = jnp.zeros((t_tile, PHASE * cout), jnp.float32)
+        for dt, p in _tap_patches(
+            xts, slot, f, kf, kt, cin, stride, t_tile
+        ):
+            acc = acc + jnp.dot(
+                p, wp_ref[dt], preferred_element_type=jnp.float32
+            )
+        acc = acc + bp_ref[:].astype(jnp.float32)
+        if leaky is not None:
+            acc = jnp.where(acc >= 0, acc, acc * leaky)
+        mask = _phase_mask(fqt * fq_tile + f, f_rows, cout, acc.shape)
+        acc = jnp.where(mask, acc, 0.0)
+        y_ref[0, f] = acc.astype(y_ref.dtype)
 
 
-def _pad_time(xq, stride, t_blocks, kt, t_tile):
+def _pad_input(xq, stride, t_blocks, kt, t_tile, n_fqt, fq_tile):
     """Pre-pad (and for stride 2, parity-split) the packed input so every
-    kernel fetch is static and in-bounds.  Returns tuple of HBM arrays.
-
-    Stride 1: left pad = kt//2, so the in-kernel tap-dt slice start is
-    exactly dt.  Stride 2 (kt=9 only): the parity arrays get left pad 2
-    (the most negative parity-space offset).
-    """
+    kernel fetch is static and in-bounds.  Packed axis: 1 zero block on
+    the left + tail to n_fqt*fq_tile + 2.  Tiled axis: stride 1 gets
+    left pad kt//2 (tap slice start == dt); stride 2 (kt=9) parity
+    arrays get left pad 2."""
     B, FQ, Tin, L = xq.shape
     half = kt // 2
     need = t_blocks * t_tile + TM
+    fpad = n_fqt * fq_tile + 2 - FQ - 1
     if stride == 1:
         x = jnp.pad(
-            xq, ((0, 0), (1, 1), (half, need - Tin - half), (0, 0))
+            xq, ((0, 0), (1, fpad), (half, need - Tin - half), (0, 0))
         )
         return (x,)
     assert half == 4, "stride-2 path assumes kt=9 (reference parity)"
@@ -263,8 +277,8 @@ def _pad_time(xq, stride, t_blocks, kt, t_tile):
     if Tin % 2:
         xq = jnp.pad(xq, ((0, 0), (0, 0), (0, 1), (0, 0)))
     xe, xo = xq[:, :, 0::2], xq[:, :, 1::2]
-    xe = jnp.pad(xe, ((0, 0), (1, 1), (2, need - te - 2), (0, 0)))
-    xo = jnp.pad(xo, ((0, 0), (1, 1), (2, need - te - 2), (0, 0)))
+    xe = jnp.pad(xe, ((0, 0), (1, fpad), (2, need - te - 2), (0, 0)))
+    xo = jnp.pad(xo, ((0, 0), (1, fpad), (2, need - te - 2), (0, 0)))
     return (xe, xo)
 
 
@@ -277,73 +291,85 @@ def _fwd_call(xq, wp, bp, *, kf, kt, cin, cout, stride, f_rows, leaky,
     t_tile = _choose_tile(Tout)
     t_blocks = pl.cdiv(Tout, t_tile)
     win = t_tile + TM
-    ins = _pad_time(xq, stride, t_blocks, kt, t_tile)
-    n_in = len(ins)
+    n_in = 1 if stride == 1 else 2
+    fq_tile = _choose_fq_tile(FQ, win, L, xq.dtype.itemsize, n_in, t_tile)
+    n_fqt = pl.cdiv(FQ, fq_tile)
+    ins = _pad_input(xq, stride, t_blocks, kt, t_tile, n_fqt, fq_tile)
 
     kern = functools.partial(
         _fwd_kernel, kf=kf, kt=kt, cin=cin, cout=cout, stride=stride,
         f_rows=f_rows, win=win, leaky=leaky, n_in=n_in, t_tile=t_tile,
+        fq_tile=fq_tile,
     )
-    rows = _rows(kf)
     y = pl.pallas_call(
         kern,
-        grid=(B, FQ, t_blocks),
+        grid=(B, n_fqt, t_blocks),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_in
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         out_specs=pl.BlockSpec(
-            (1, 1, t_tile, PHASE * cout),
-            lambda b, fq, tb: (b, fq, tb, 0),
+            (1, fq_tile, t_tile, PHASE * cout),
+            lambda b, fqt, tb: (b, fqt, tb, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (B, FQ, t_blocks * t_tile, PHASE * cout), xq.dtype
+            (B, n_fqt * fq_tile, t_blocks * t_tile, PHASE * cout),
+            xq.dtype,
         ),
-        scratch_shapes=[pltpu.VMEM((2, 3, win, L), xq.dtype)] * n_in
-        + [pltpu.SemaphoreType.DMA((2, 3))] * n_in,
+        scratch_shapes=[
+            pltpu.VMEM((2, fq_tile + 2, win, L), xq.dtype)
+        ] * n_in
+        + [pltpu.SemaphoreType.DMA((2,))] * n_in,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * FQ * t_blocks * t_tile * rows * kt * cin
-            * PHASE * cout,
-            bytes_accessed=xq.size * xq.dtype.itemsize * (3 if stride == 1
-                                                          else 3),
+            # USEFUL conv flops only (not the 2x structurally-zero MACs),
+            # so whole-step cost_analysis stays comparable to the XLA path
+            flops=2 * B * f_rows * Tout * kf * kt * cin * cout,
+            bytes_accessed=sum(x.size * x.dtype.itemsize for x in ins),
             transcendentals=0,
         ),
         interpret=interpret,
     )(*ins, wp, bp)
-    return y[:, :, :Tout]
+    return y[:, :FQ, :Tout]
 
 
 # --------------------------------------------------------------------- #
-# dW kernel: accumulate P^T @ dY over the whole grid
+# dW kernel: accumulate tap-major P^T @ dY over the whole grid
 # --------------------------------------------------------------------- #
 
 
 def _dw_kernel(*args, kf, kt, cin, cout, stride, f_rows, win, n_in,
-               t_tile):
+               t_tile, fq_tile):
     refs = args[:n_in]
     dy_ref, dwp_ref = args[n_in:n_in + 2]
     scratch = args[n_in + 2:]
     xts, sems = scratch[:n_in], scratch[n_in:]
-    b, fq, tb = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    b, fqt, tb = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
-    slot = _fetch_pipelined(refs, xts, sems, stride, win, t_tile)
-    dy = dy_ref[0, 0]
-    first = (b == 0) & (fq == 0) & (tb == 0)
-    for dt, p in _tap_patches(xts, slot, kf, kt, cin, stride, t_tile):
-        contrib = jax.lax.dot_general(
-            p, dy, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    slot = _fetch_pipelined(refs, xts, sems, win, t_tile, fq_tile)
+    first = (b == 0) & (fqt == 0) & (tb == 0)
+    rows = _rows(kf)
+    K = rows * cin
+    acc = [jnp.zeros((K, PHASE * cout), jnp.float32) for _ in range(kt)]
+    for f in range(fq_tile):
+        dy = dy_ref[0, f]
+        for dt, p in _tap_patches(
+            xts, slot, f, kf, kt, cin, stride, t_tile
+        ):
+            acc[dt] = acc[dt] + jax.lax.dot_general(
+                p, dy, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    for dt in range(kt):
 
         @pl.when(first)
-        def _(dt=dt, contrib=contrib):
-            dwp_ref[dt] = contrib
+        def _(dt=dt):
+            dwp_ref[dt] = acc[dt]
 
         @pl.when(jnp.logical_not(first))
-        def _(dt=dt, contrib=contrib):
-            dwp_ref[dt] = dwp_ref[dt] + contrib
+        def _(dt=dt):
+            dwp_ref[dt] = dwp_ref[dt] + acc[dt]
 
 
 def _dw_call(xq, dy, *, kf, kt, cin, cout, stride, f_rows, interpret):
@@ -356,36 +382,43 @@ def _dw_call(xq, dy, *, kf, kt, cin, cout, stride, f_rows, interpret):
     t_tile = _choose_tile(Tout)
     t_blocks = pl.cdiv(Tout, t_tile)
     win = t_tile + TM
-    ins = _pad_time(xq, stride, t_blocks, kt, t_tile)
-    n_in = len(ins)
+    n_in = 1 if stride == 1 else 2
+    fq_tile = _choose_fq_tile(FQ, win, L, xq.dtype.itemsize, n_in, t_tile)
+    n_fqt = pl.cdiv(FQ, fq_tile)
+    ins = _pad_input(xq, stride, t_blocks, kt, t_tile, n_fqt, fq_tile)
     dy = jnp.pad(
-        dy, ((0, 0), (0, 0), (0, t_blocks * t_tile - Tout), (0, 0))
+        dy,
+        ((0, 0), (0, n_fqt * fq_tile - FQ),
+         (0, t_blocks * t_tile - Tout), (0, 0)),
     )
 
     kern = functools.partial(
         _dw_kernel, kf=kf, kt=kt, cin=cin, cout=cout, stride=stride,
         f_rows=f_rows, win=win, n_in=n_in, t_tile=t_tile,
+        fq_tile=fq_tile,
     )
     return pl.pallas_call(
         kern,
-        grid=(B, FQ, t_blocks),
+        grid=(B, n_fqt, t_blocks),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_in
         + [
             pl.BlockSpec(
-                (1, 1, t_tile, PHASE * cout),
-                lambda b, fq, tb: (b, fq, tb, 0),
+                (1, fq_tile, t_tile, PHASE * cout),
+                lambda b, fqt, tb: (b, fqt, tb, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (kt, K, PHASE * cout), lambda b, fq, tb: (0, 0, 0),
+            (kt, K, PHASE * cout), lambda b, fqt, tb: (0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
             (kt, K, PHASE * cout), jnp.float32
         ),
-        scratch_shapes=[pltpu.VMEM((2, 3, win, L), xq.dtype)] * n_in
-        + [pltpu.SemaphoreType.DMA((2, 3))] * n_in,
+        scratch_shapes=[
+            pltpu.VMEM((2, fq_tile + 2, win, L), xq.dtype)
+        ] * n_in
+        + [pltpu.SemaphoreType.DMA((2,))] * n_in,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
@@ -399,7 +432,7 @@ def _dw_call(xq, dy, *, kf, kt, cin, cout, stride, f_rows, interpret):
 
 
 def _freq_mask(f_rows, fq, cout, dtype):
-    """[FQ, PHASE*cout] validity mask for packed freq rows (XLA side)."""
+    """[FQ, PHASE*cout] validity mask for packed rows (XLA side)."""
     phase = jnp.arange(PHASE * cout) // cout
     rows = jnp.arange(fq)[:, None] * PHASE + phase[None, :]
     return (rows < f_rows).astype(dtype)
@@ -409,13 +442,13 @@ def _freq_mask(f_rows, fq, cout, dtype):
 def spec_conv2d_packed(xq, w, b, f_rows: int, stride_t: int = 1,
                        leaky: float | None = 0.1,
                        interpret: bool | None = None):
-    """Fused conv2d(+bias+leaky_relu) on the packed-frequency layout.
+    """Fused conv2d(+bias+leaky_relu) on the packed layout.
 
     xq: [B, FQ, T, PHASE*cin] from pack_freq; w: (kf, kt, cin, cout)
     torch-parity weights with symmetric padding (kf//2, kt//2) and stride
-    (1, stride_t); f_rows = true freq rows (pre-packing F).  Returns the
-    packed output [B, FQ, Tout, PHASE*cout] with padding phases zeroed.
-    leaky=None disables the activation.
+    (1, stride_t); f_rows = true rows of the packed axis (pre-packing).
+    Returns the packed output [B, FQ, Tout, PHASE*cout] with padding
+    phases zeroed.  leaky=None disables the activation.
     """
     kf, kt, cin, cout = w.shape
     wp = pack_weights(w).astype(xq.dtype)
@@ -458,7 +491,7 @@ def _packed_bwd(f_rows, stride_t, leaky, interpret, res, dy):
 
     # dx: transposed conv == this forward kernel at stride 1 on the
     # stride-dilated upstream grad with rotated, io-swapped weights (the
-    # freq axis is symmetric kf with kf//2 padding, so the same phase
+    # packed axis is symmetric kf with kf//2 padding, so the same phase
     # packing applies)
     w_rot = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
     if stride_t > 1:

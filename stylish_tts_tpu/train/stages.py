@@ -731,30 +731,80 @@ def make_train_step(stage_name: str, ctx: StageContext, base_lr: float):
             jax.tree_util.tree_map, lambda a: a.astype(jnp.float32)
         )
 
-        # BOTH GAN roles in one checkpointed region returning scalars only
-        # (fmaps as remat outputs would pin multi-GB in HBM): the generator
-        # view (disc params detached, generated spectra live) and the
-        # discriminator view (params live, spectra detached) are
-        # HLO-identical forwards after stop_gradient erasure, so XLA CSE
-        # computes the dominant MRD conv forward once instead of twice.
-        @jax.checkpoint
-        def _gan_losses(mrd_params, t_fft, p_fft):
-            bp = _to_bf16(mrd_params)
-            bt, bf = _to_bf16(t_fft), _to_bf16(p_fft)
-            g_rs, g_gs, g_rf, g_gf = ctx.models["mrd"].apply(
-                {"params": sg_tree(bp)}, bt, bf
+        def _gan_scalars(bp, bt, bf):
+            """ONE MRD forward -> all three GAN scalars."""
+            rs, gs, rf, gf = ctx.models["mrd"].apply(
+                {"params": bp}, bt, bf
             )
             gen_loss = L.generator_adversarial_loss(
-                f32_tree(g_rs), f32_tree(g_gs),
-                f32_tree(g_rf), f32_tree(g_gf),
-            )
-            d_rs, d_gs, _, _ = ctx.models["mrd"].apply(
-                {"params": bp}, sg_tree(bt), sg_tree(bf)
+                f32_tree(rs), f32_tree(gs), f32_tree(rf), f32_tree(gf),
             )
             d_total, d_plain = L.discriminator_loss(
-                f32_tree(d_rs), f32_tree(d_gs)
+                f32_tree(rs), f32_tree(gs)
             )
             return gen_loss, d_total, d_plain
+
+        if getattr(ctx.model_config, "mrd_pallas", False):
+            # Pallas path: XLA does NOT CSE across custom-calls, so the
+            # two stop-gradient role views would each run the full conv
+            # stack (and remat would re-run both).  Route gradients
+            # explicitly instead: one forward; the backward recomputes
+            # (remat-equivalent) and takes PARAM grads from the
+            # discriminator-loss pullback and INPUT grads from the
+            # generator-loss pullback — numerically identical to the
+            # reference's two detached passes (train/stage.py:100-129).
+            @jax.custom_vjp
+            def _gan_losses(mrd_params, t_fft, p_fft):
+                return _gan_scalars(
+                    _to_bf16(mrd_params), _to_bf16(t_fft), _to_bf16(p_fft)
+                )
+
+            def _gan_fwd(mrd_params, t_fft, p_fft):
+                return _gan_losses(mrd_params, t_fft, p_fft), (
+                    mrd_params, t_fft, p_fft,
+                )
+
+            def _gan_bwd(res, cts):
+                mrd_params, t_fft, p_fft = res
+                cg, cdt, cdp = cts
+                _, pull = jax.vjp(
+                    lambda p, t, f: _gan_scalars(
+                        _to_bf16(p), _to_bf16(t), _to_bf16(f)
+                    ),
+                    mrd_params, t_fft, p_fft,
+                )
+                zero = jnp.zeros_like(cg)
+                _dp_g, dt_g, df_g = pull((cg, zero, zero))
+                dp_d, _dt_d, _df_d = pull((zero, cdt, cdp))
+                return dp_d, dt_g, df_g
+
+            _gan_losses.defvjp(_gan_fwd, _gan_bwd)
+        else:
+            # XLA path: BOTH roles in one checkpointed region returning
+            # scalars only (fmaps as remat outputs would pin multi-GB in
+            # HBM): the generator view (disc params detached, generated
+            # spectra live) and the discriminator view (params live,
+            # spectra detached) are HLO-identical forwards after
+            # stop_gradient erasure, so XLA CSE computes the dominant MRD
+            # conv forward once instead of twice.
+            @jax.checkpoint
+            def _gan_losses(mrd_params, t_fft, p_fft):
+                bp = _to_bf16(mrd_params)
+                bt, bf = _to_bf16(t_fft), _to_bf16(p_fft)
+                g_rs, g_gs, g_rf, g_gf = ctx.models["mrd"].apply(
+                    {"params": sg_tree(bp)}, bt, bf
+                )
+                gen_loss = L.generator_adversarial_loss(
+                    f32_tree(g_rs), f32_tree(g_gs),
+                    f32_tree(g_rf), f32_tree(g_gf),
+                )
+                d_rs, d_gs, _, _ = ctx.models["mrd"].apply(
+                    {"params": bp}, sg_tree(bt), sg_tree(bf)
+                )
+                d_total, d_plain = L.discriminator_loss(
+                    f32_tree(d_rs), f32_tree(d_gs)
+                )
+                return gen_loss, d_total, d_plain
 
         batch_size = batch["text"].shape[0]
 

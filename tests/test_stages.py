@@ -107,3 +107,76 @@ def test_eval_step_runs(setup, stage):
                  "hubert_acoustic", "cfm_hubert_mel"):
         assert audio is not None
         assert np.isfinite(np.asarray(audio)).all()
+
+
+def test_routed_gan_grads_match_two_pass():
+    """The routed-GAN custom_vjp used on the mrd_pallas path (one MRD
+    forward; param grads from the disc-loss pullback, input grads from
+    the gen-loss pullback) must reproduce the reference two-detached-pass
+    gradients exactly.  Routing correctness is independent of the conv
+    implementation, so this runs the fast XLA conv path; pallas-vs-XLA
+    numerical parity is covered in tests/test_pallas.py."""
+    import functools
+
+    from stylish_tts_tpu import losses as L
+    from stylish_tts_tpu.models.discriminator import (
+        MultiResolutionDiscriminator,
+    )
+
+    disc = MultiResolutionDiscriminator(resolution_count=2)
+    rng = np.random.default_rng(0)
+    t_fft = [jnp.asarray(rng.standard_normal((2, 20, 17, 1)), jnp.float32),
+             jnp.asarray(rng.standard_normal((2, 12, 9, 1)), jnp.float32)]
+    p_fft = [jnp.asarray(rng.standard_normal((2, 20, 17, 1)), jnp.float32),
+             jnp.asarray(rng.standard_normal((2, 12, 9, 1)), jnp.float32)]
+    params = disc.init(jax.random.PRNGKey(0), t_fft, p_fft)["params"]
+
+    sg = functools.partial(jax.tree_util.tree_map, jax.lax.stop_gradient)
+
+    def scalars(p, t, f):
+        rs, gs, rf, gf = disc.apply({"params": p}, t, f)
+        gen = L.generator_adversarial_loss(rs, gs, rf, gf)
+        d_total, d_plain = L.discriminator_loss(rs, gs)
+        return gen, d_total, d_plain
+
+    def two_pass(p, t, f):
+        g_rs, g_gs, g_rf, g_gf = disc.apply({"params": sg(p)}, t, f)
+        gen = L.generator_adversarial_loss(g_rs, g_gs, g_rf, g_gf)
+        d_rs, d_gs, _, _ = disc.apply({"params": p}, sg(t), sg(f))
+        d_total, _ = L.discriminator_loss(d_rs, d_gs)
+        return gen + 3.0 * d_total
+
+    @jax.custom_vjp
+    def routed(p, t, f):
+        gen, d_total, _ = scalars(p, t, f)
+        return gen, d_total
+
+    def routed_fwd(p, t, f):
+        return routed(p, t, f), (p, t, f)
+
+    def routed_bwd(res, cts):
+        p, t, f = res
+        cg, cd = cts
+        _, pull = jax.vjp(lambda *a: scalars(*a)[:2], p, t, f)
+        zero = jnp.zeros(())
+        _dp, dt_g, df_g = pull((cg, zero))
+        dp_d, _dt, _df = pull((zero, cd))
+        return dp_d, dt_g, df_g
+
+    routed.defvjp(routed_fwd, routed_bwd)
+
+    def routed_total(p, t, f):
+        gen, d_total = routed(p, t, f)
+        return gen + 3.0 * d_total
+
+    gp_ref, gt_ref, gf_ref = jax.grad(two_pass, argnums=(0, 1, 2))(
+        params, t_fft, p_fft
+    )
+    gp_r, gt_r, gf_r = jax.grad(routed_total, argnums=(0, 1, 2))(
+        params, t_fft, p_fft
+    )
+    for a, b in zip(jax.tree_util.tree_leaves((gp_ref, gt_ref, gf_ref)),
+                    jax.tree_util.tree_leaves((gp_r, gt_r, gf_r))):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5
+        )
