@@ -75,6 +75,13 @@ def main() -> int:
     config.training.log_interval = 1
     config.training.val_interval = 10 ** 9
     config.training.save_interval = 10 ** 9
+    # conservative batch plan: the heuristic/AOT plans solved b36/f340 for
+    # the full-size acoustic GAN step, which OOM'd the 16 GB chip in the
+    # first r4 attempt (the curve, not peak throughput, is the point here;
+    # b8-equivalent shapes are measured-safe — bench.py b8/f700)
+    config.training.aot_memory_plan = False
+    for st in args.stages.split(","):
+        config.training_plan.get_stage(st).probe_batch_max = 8
 
     if args.tiny:
         from stylish_tts_tpu.utils.synthetic import tiny_model_config

@@ -89,7 +89,11 @@ def init_model_variables(
         for i, key in enumerate(keys if keys is not None else models.keys()):
             k = jax.random.fold_in(rng, i)
             rngs = {"params": k, "dropout": k, "sample": k}
-            out[key] = models[key].init(rngs, *init_args[key])
+            # jit the whole init: eager flax init dispatches thousands of
+            # one-op XLA compiles (measured 100s+ of wall seconds on the
+            # 8-virtual-device CPU mesh); one fused compile per module is
+            # ~10x faster and benefits the TPU relay path equally.
+            out[key] = jax.jit(models[key].init)(rngs, *init_args[key])
     return out
 
 
@@ -98,7 +102,7 @@ def init_slm_params(rng: jax.Array, mc: Optional[ModelConfig] = None) -> Any:
     when ``mc.slm.weights_path`` is set, random features otherwise."""
     layers = mc.slm.layers if mc is not None else 12
     slm = SLMFeatureExtractor(n_layers=layers)
-    params = slm.init({"params": rng}, jnp.zeros((1, 1600)))["params"]
+    params = jax.jit(slm.init)({"params": rng}, jnp.zeros((1, 1600)))["params"]
     if mc is not None and mc.slm.weights_path:
         from .checkpoint import load_model_safetensors
 
@@ -116,7 +120,7 @@ def init_vocos_params(rng: jax.Array, weights_path: Optional[str]) -> Any:
     from .checkpoint import load_model_safetensors
 
     vocos = Vocos()
-    params = vocos.init(
+    params = jax.jit(vocos.init)(
         {"params": rng}, jnp.zeros((1, INIT_F, VOCOS_N_MELS))
     )["params"]
     return load_model_safetensors(weights_path, params)
@@ -132,7 +136,7 @@ def init_ssl_params(rng: jax.Array, mc: ModelConfig):
         model_sr=mc.sample_rate, hubert_sr=mc.hubert.sr,
         proj_dim=mc.hubert.hidden_dim,
     )
-    hubert_p = hubert.init(
+    hubert_p = jax.jit(hubert.init, static_argnums=2)(
         {"params": k1}, jnp.zeros((1, 4800)), 12
     )["params"]
     if mc.hubert.weights_path:
@@ -146,7 +150,7 @@ def init_ssl_params(rng: jax.Array, mc: ModelConfig):
     spk = SpeakerEmbeddingModel(
         model_sr=mc.sample_rate, hidden_dim=mc.speaker_embedder.hidden_dim
     )
-    spk_p = spk.init({"params": k2}, jnp.zeros((1, 4800)))["params"]
+    spk_p = jax.jit(spk.init)({"params": k2}, jnp.zeros((1, 4800)))["params"]
     if mc.speaker_embedder.weights_path:
         from .checkpoint import load_model_safetensors
 

@@ -243,8 +243,15 @@ def _drain_metrics(logs):
     if not logs:
         return {}
     names = sorted(logs[0].keys())
-    block = jnp.stack([jnp.stack([m[k] for k in names]) for m in logs])
-    means = np.asarray(block).mean(axis=0)
+    try:
+        block = jnp.stack([jnp.stack([m[k] for k in names]) for m in logs])
+        means = np.asarray(block).mean(axis=0)
+    except Exception as exc:  # noqa: BLE001
+        # async dispatch surfaces a failed step's device error HERE, not at
+        # the step_fn call the OOM guard wraps — don't let a dropped window
+        # of metrics kill the stage (the guard already latched the bad bin)
+        logger.warning("metric window dropped (%s)", str(exc)[:200])
+        return {}
     return {k: float(v) for k, v in zip(names, means)}
 
 
