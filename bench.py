@@ -26,6 +26,23 @@ import time
 
 V5E_BF16_PEAK_FLOPS = 197e12  # per-chip bf16 peak, TPU v5e
 
+
+def peak_flops(device) -> float:
+    """Per-chip bf16 peak for the chip the bench actually lands on.
+    BENCH_r04 reported MFU 0.43 at a step time 5.4x faster than the same
+    code measures on v5e — consistent with the driver chip being a later
+    generation while MFU divided by the v5e constant; record the device
+    kind and normalise by ITS peak so the artifact is self-describing."""
+    kind = getattr(device, "device_kind", "").lower()
+    table = [
+        ("v6", 918e12), ("v5 lite", 197e12), ("v5e", 197e12),
+        ("v5p", 459e12), ("v5", 459e12), ("v4", 275e12), ("v3", 123e12),
+    ]
+    for key, val in table:
+        if key in kind:
+            return val
+    return V5E_BF16_PEAK_FLOPS
+
 BACKEND_RETRIES = 3
 BACKEND_BACKOFF_S = 20  # grows 1.5x per attempt
 
@@ -203,7 +220,10 @@ def bench_train_step(b: int = 8, frames: int = 460, tag: str = "") -> dict:
         duration_class_weight=jnp.ones((16,)),
     )
     frozen = {"slm": init_slm_params(jax.random.PRNGKey(7), mc), "ssl": None}
-    step = jax.jit(make_train_step("acoustic", ctx, 1e-4), donate_argnums=(0,))
+    # init runs on host CPU (train/init.py): put state+frozen on the
+    # device ONCE — leaving them on CPU would re-transfer ~0.9 GB
+    # through the relay on every call and corrupt the timing
+    state, frozen = jax.device_put((state, frozen), jax.devices()[0])
 
     t = max(32, frames * 192 // 460)  # tokens scale with utterance length
     rng = np.random.default_rng(0)
@@ -225,13 +245,15 @@ def bench_train_step(b: int = 8, frames: int = 460, tag: str = "") -> dict:
     )
     key = jax.random.PRNGKey(1)
 
-    # compile + flops estimate
-    lowered = jax.jit(
-        make_train_step("acoustic", ctx, 1e-4)
-    ).lower(state, batch, key, frozen)
-    compiled = lowered.compile()
+    # ONE donated executable serves both the flops estimate and the timed
+    # loop: a second non-donated lowering cannot alias state in/out, so its
+    # allocation plan needs ~2x the train state and OOM'd the b8xf700
+    # compile in r4 (15.84G vs 15.75G) before the timed program ever ran.
+    step = jax.jit(
+        make_train_step("acoustic", ctx, 1e-4), donate_argnums=(0,)
+    ).lower(state, batch, key, frozen).compile()
     try:
-        flops = float(compiled.cost_analysis()["flops"])
+        flops = float(step.cost_analysis()["flops"])
     except Exception:  # noqa: BLE001
         flops = None
 
@@ -245,16 +267,18 @@ def bench_train_step(b: int = 8, frames: int = 460, tag: str = "") -> dict:
     jax.block_until_ready(metrics["loss"])
     dt = (time.perf_counter() - t0) / iters
     audio_sec = b * frames * mc.hop_length / mc.sample_rate
+    dev = jax.devices()[0]
     p = f"train{tag}_"
     out = {
         p + "step_s": round(dt, 4),
         p + "audio_sec_per_s": round(audio_sec / dt, 2),
         p + "batch": b,
         p + "frames": frames,
+        "device_kind": getattr(dev, "device_kind", "unknown"),
     }
     if flops:
         out[p + "step_tflops"] = round(flops / 1e12, 2)
-        out[p + "mfu_est"] = round(flops / dt / V5E_BF16_PEAK_FLOPS, 4)
+        out[p + "mfu_est"] = round(flops / dt / peak_flops(dev), 4)
     return out
 
 

@@ -76,6 +76,10 @@ def main() -> None:
         duration_class_weight=jnp.ones((16,)),
     )
     frozen = {"slm": init_slm_params(jax.random.PRNGKey(7), mc), "ssl": None}
+    # init runs on host CPU (train/init.py): put state+frozen on the
+    # device ONCE — leaving them on CPU would re-transfer ~0.9 GB
+    # through the relay on every call and corrupt the timing
+    state, frozen = jax.device_put((state, frozen), jax.devices()[0])
 
     b, t, frames = args.batch, args.tokens, args.frames
     rng = np.random.default_rng(0)

@@ -244,7 +244,7 @@ class TrainingConfig(BaseModel):
     # analysis of the largest bucket (one extra AOT compile per stage the
     # first time a stage runs) — the TPU-native form of the reference's
     # OOM probe loop (train/batch_manager.py:70-164)
-    aot_memory_plan: bool = False
+    aot_memory_plan: bool = True
 
 
 class DatasetConfig(BaseModel):

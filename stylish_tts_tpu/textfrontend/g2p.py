@@ -170,12 +170,199 @@ LEXICON = {
     "technology": "tɛknˈɑːlədʒi", "receive": "ɹɪsˈiːv",
     "security": "sɪkjˈʊɹəɾi", "material": "mətˈɪɹiəl",
     "experience": "ɪkspˈɪɹiəns", "experiment": "ɪkspˈɛɹəmənt",
+    # r5: frequent words whose stress/reduction pattern the rules cannot
+    # derive (unstressed-prefix verbs, initial-stress nouns with irregular
+    # vowels, loanwords) — General American, espeak-flavoured IPA
+    "wind": "wˈɪnd", "winds": "wˈɪndz",
+    "study": "stˈʌdi", "service": "sˈɜːvəs", "father": "fˈɑːðɚ",
+    "community": "kəmjˈuːnəɾi", "president": "pɹˈɛzədɛnt",
+    "information": "ˌɪnfɚmˈeɪʃən", "office": "ˈɔːfəs",
+    "research": "ɹˈiːsɜːtʃ", "air": "ˈɛɹ", "college": "kˈɑːlɪdʒ",
+    "interest": "ˈɪntɹəst", "effect": "ɪfˈɛkt", "control": "kəntɹˈoʊl",
+    "development": "dɪvˈɛləpmənt", "police": "pəlˈiːs",
+    "decision": "dɪsˈɪʒən", "value": "vˈæljuː", "director": "dɚɹˈɛktɚ",
+    "position": "pəzˈɪʃən", "record": "ɹˈɛkɚd", "event": "ɪvˈɛnt",
+    "official": "əfˈɪʃəl", "court": "kˈɔːɹt", "figure": "fˈɪɡjɚ",
+    "data": "dˈeɪɾə", "practice": "pɹˈæktəs", "product": "pɹˈɑːdəkt",
+    "patient": "pˈeɪʃənt", "movie": "mˈuːvi", "support": "səpˈɔːɹt",
+    "computer": "kəmpjˈuːɾɚ", "source": "sˈɔːɹs",
+    "subject": "sˈʌbdʒɪkt", "husband": "hˈʌzbənd",
+    "congress": "kˈɑːŋɡɹəs", "knowledge": "nˈɑːlɪdʒ",
+    "economy": "ɪkˈɑːnəmi", "financial": "fənˈænʃəl",
+    "agency": "ˈeɪdʒənsi", "camera": "kˈæmɹə", "animal": "ˈænəməl",
+    "budget": "bˈʌdʒɪt", "collection": "kəlˈɛkʃən",
+    "hospital": "hˈɑːspɪɾəl", "medium": "mˈiːdiəm",
+    "account": "əkˈaʊnt", "region": "ɹˈiːdʒən", "surface": "sˈɜːfəs",
+    "election": "ɪlˈɛkʃən", "quality": "kwˈɑːləɾi",
+    "challenge": "tʃˈæləndʒ", "article": "ˈɑːɹɾəkəl",
+    "response": "ɹɪspˈɑːns", "statement": "stˈeɪtmənt",
+    "success": "səksˈɛs", "institution": "ˌɪnstɪtˈuːʃən",
+    "growth": "ɡɹˈoʊθ", "ability": "əbˈɪləɾi", "reality": "ɹiˈæləɾi",
+    "direction": "dɚɹˈɛkʃən", "concern": "kənsˈɜːn", "dog": "dˈɔːɡ",
+    "bear": "bˈɛɹ", "rabbit": "ɹˈæbət", "chicken": "tʃˈɪkən",
+    "elephant": "ˈɛləfənt", "hundred": "hˈʌndɹəd",
+    "thousand": "θˈaʊzənd", "fourth": "fˈɔːɹθ", "thursday": "θˈɜːzdeɪ",
+    "friday": "fɹˈaɪdeɪ", "april": "ˈeɪpɹəl", "june": "dʒˈuːn",
+    "july": "dʒuːlˈaɪ", "august": "ˈɔːɡəst", "october": "ɑːktˈoʊbɚ",
+    "november": "noʊvˈɛmbɚ", "autumn": "ˈɔːɾəm", "hear": "hˈiːɹ",
+    "break": "bɹˈeɪk", "push": "pˈʊʃ", "pull": "pˈʊl", "lose": "lˈuːz",
+    "arrive": "ɚɹˈaɪv", "continue": "kəntˈɪnjuː", "appear": "əpˈɪɹ",
+    "forget": "fɚɡˈɛt", "describe": "dɪskɹˈaɪb", "agree": "əɡɹˈiː",
+    "refuse": "ɹɪfjˈuːz", "offer": "ˈɔːfɚ", "promise": "pɹˈɑːməs",
+    "suggest": "səɡdʒˈɛst", "reply": "ɹɪplˈaɪ", "afraid": "əfɹˈeɪd",
+    "excited": "ɪksˈaɪɾɪd", "narrow": "nˈɛɹoʊ", "smooth": "smˈuːð",
+    "expensive": "ɪkspˈɛnsɪv", "full": "fˈʊl", "closed": "klˈoʊzd",
+    "difficult": "dˈɪfəkəlt", "important": "ɪmpˈɔːɹtənt",
+    "possible": "pˈɑːsəbəl", "impossible": "ɪmpˈɑːsəbəl",
+    "necessary": "nˈɛsəsɛɹi", "available": "əvˈeɪləbəl",
+    "different": "dˈɪfɹənt", "usual": "jˈuːʒuəl", "perfect": "pˈɜːfɪkt",
+    "handsome": "hˈænsəm", "terrible": "tˈɛɹəbəl",
+    "horrible": "hˈɔːɹəbəl", "false": "fˈɔːls", "correct": "kɚɹˈɛkt",
+    "careful": "kˈɛɹfəl", "pear": "pˈɛɹ", "strawberry": "stɹˈɔːbɛɹi",
+    "carrot": "kˈɛɹət", "honey": "hˈʌni", "salad": "sˈæləd",
+    "pasta": "pˈɑːstə", "cookie": "kˈʊki", "kitchen": "kˈɪtʃən",
+    "garden": "ɡˈɑːɹdən", "stairs": "stˈɛɹz", "chair": "tʃˈɛɹ",
+    "drawer": "dɹˈɔːɹ", "bowl": "bˈoʊl", "wallet": "wˈɑːlət",
+    "button": "bˈʌʔən", "necklace": "nˈɛkləs",
+    "bracelet": "bɹˈeɪslət", "glasses": "ɡlˈæsəz",
+    "umbrella": "əmbɹˈɛlə", "hair": "hˈɛɹ", "forehead": "fˈɔːɹhɛd",
+    "ear": "ˈiːɹ", "shoulder": "ʃˈoʊldɚ", "toe": "tˈoʊ",
+    "mountain": "mˈaʊntən", "forest": "fˈɔːɹəst", "desert": "dˈɛzɚt",
+    "bush": "bˈʊʃ", "cedar": "sˈiːdɚ", "planet": "plˈænət",
+    "wood": "wˈʊd", "wool": "wˈʊl", "cement": "səmˈɛnt",
+    "concrete": "kˈɑːnkɹiːt", "palace": "pˈæləs", "cottage": "kˈɑːɾɪdʒ",
+    "cabin": "kˈæbən", "airport": "ˈɛɹpɔːɹt", "bicycle": "bˈaɪsɪkəl",
+    "pilot": "pˈaɪlət", "lawyer": "lˈɔːjɚ", "butcher": "bˈʊtʃɚ",
+    "carpenter": "kˈɑːɹpəntɚ", "plumber": "plˈʌmɚ",
+    "electrician": "ɪlɛktɹˈɪʃən", "scientist": "sˈaɪəntəst",
+    "artist": "ˈɑːɹɾəst", "poet": "pˈoʊət", "musician": "mjuːzˈɪʃən",
+    "secretary": "sˈɛkɹətɛɹi", "librarian": "laɪbɹˈɛɹiən",
+    "ghost": "ɡˈoʊst", "wizard": "wˈɪzɚd", "fairy": "fˈɛɹi",
+    "hero": "hˈɪɹoʊ", "audience": "ˈɑːdiəns", "citizen": "sˈɪɾəzən",
+    "human": "hjˈuːmən", "teenager": "tˈiːneɪdʒɚ", "infant": "ˈɪnfənt",
+    "uncle": "ˈʌŋkəl", "nephew": "nˈɛfjuː", "vacation": "veɪkˈeɪʃən",
+    "journey": "dʒˈɜːni", "travel": "tɹˈævəl", "compass": "kˈʌmpəs",
+    "height": "hˈaɪt", "length": "lˈɛŋkθ", "degree": "dɪɡɹˈiː",
+    "temperature": "tˈɛmpɹətʃɚ", "climate": "klˈaɪmət",
+    "harvest": "hˈɑːɹvəst", "meadow": "mˈɛdoʊ", "orchard": "ˈɔːɹtʃɚd",
+    "restaurant": "ɹˈɛstɚɹɑːnt", "motel": "moʊtˈɛl",
+    "theater": "θˈiːəɾɚ", "library": "lˈaɪbɹɛɹi", "circus": "sˈɜːkəs",
+    "stadium": "stˈeɪdiəm", "gym": "dʒˈɪm", "doll": "dˈɑːl",
+    "balloon": "bəlˈuːn", "violin": "vaɪəlˈɪn", "opera": "ˈɑːpɹə",
+    "ballet": "bælˈeɪ", "photograph": "fˈoʊɾəɡɹæf",
+    "internet": "ˈɪntɚnɛt", "email": "ˈiːmeɪl", "message": "mˈɛsɪdʒ",
+    "package": "pˈækɪdʒ", "parade": "pɚɹˈeɪd",
+    "electricity": "ɪlɛktɹˈɪsəɾi", "reflection": "ɹɪflˈɛkʃən",
+    "horizon": "hɚɹˈaɪzən", "sunset": "sˈʌnsɛt", "today": "tədˈeɪ",
+    "calendar": "kˈæləndɚ", "appointment": "əpˈɔɪntmənt",
+    "discussion": "dɪskˈʌʃən", "argument": "ˈɑːɹɡjəmənt",
+    "debate": "dəbˈeɪt", "diploma": "dɪplˈoʊmə",
+    "university": "ˌjuːnəvˈɜːsəɾi", "laboratory": "lˈæbɹətɔːɹi",
+    "theory": "θˈiːɚɹi", "formula": "fˈɔːɹmjələ",
+    "equation": "ɪkwˈeɪʒən", "biology": "baɪˈɑːlədʒi",
+    "astronomy": "əstɹˈɑːnəmi", "medicine": "mˈɛdəsən",
+    "fever": "fˈiːvɚ", "injury": "ˈɪndʒɚi", "wound": "wˈuːnd",
+    "ambulance": "ˈæmbjələns", "signal": "sˈɪɡnəl", "safety": "sˈeɪfti",
+    "escape": "ɪskˈeɪp", "weapon": "wˈɛpən", "arrow": "ˈæɹoʊ",
+    "bullet": "bˈʊlət", "ally": "ˈælaɪ", "freedom": "fɹˈiːdəm",
+    "justice": "dʒˈʌstəs", "courage": "kˈɜːɹɪdʒ", "honor": "ˈɑːnɚ",
+    "guilt": "ɡˈɪlt", "patience": "pˈeɪʃəns", "wisdom": "wˈɪzdəm",
+    "kindness": "kˈaɪndnəs", "miracle": "mˈɪɹəkəl", "secret": "sˈiːkɹət",
+    "gossip": "ɡˈɑːsəp", "legend": "lˈɛdʒənd", "laughter": "lˈæftɚ",
+    "applause": "əplˈɔːz", "silence": "sˈaɪləns", "accent": "ˈæksɛnt",
+    "alphabet": "ˈælfəbɛt", "poem": "pˈoʊəm",
+    "dictionary": "dˈɪkʃənɛɹi", "journal": "dʒˈɜːnəl",
+    "diary": "dˈaɪɚi", "pencil": "pˈɛnsəl", "abacus": "ˈæbəkəs",
+    "atlas": "ˈætləs", "case": "kˈeɪs", "note": "nˈoʊt",
+    "news": "nˈuːz", "paper": "pˈeɪpɚ", "book": "bˈʊk",
+    "sun": "sˈʌn", "rise": "ɹˈaɪz", "set": "sˈɛt", "ware": "wˈɛɹ",
+    "house": "hˈaʊs", "grand": "ɡɹˈænd", "fore": "fˈoːɹ",
+    "suitcase": "sˈuːtkeɪs", "grandson": "ɡɹˈændsʌn",
+    "family": "fˈæməli", "president": "pɹˈɛzədɛnt",
+    "building": "bˈɪldɪŋ", "congress": "kˈɑːŋɡɹəs",
 }
 
 # context-sensitive letter-to-sound rules; first match wins.
 # format: (left-context, grapheme, right-context, phonemes)
 # '#' = word boundary, 'V' = any vowel letter, 'C' = any consonant letter.
 LTS_RULES = [
+    # --- r5 additions: classes measured against the cmudict golden ---
+    # long-vowel clusters (child, kind, sign, old, bolt, roll)
+    ("", "ild", "#", "aɪld"), ("", "ild", "r", "ɪld"),
+    ("", "ind", "#", "aɪnd"), ("", "ind", "s#", "aɪnd"),
+    ("", "ign", "", "aɪn"), ("", "old", "", "oʊld"),
+    ("", "olt", "", "oʊlt"), ("", "oll", "#", "oʊl"),
+    # final y after an onset-only spelling is the diphthong (fly, try)
+    ("#C", "y", "#", "aɪ"), ("#CC", "y", "#", "aɪ"),
+    ("#CCC", "y", "#", "aɪ"),
+    ("", "uy", "", "aɪ"), ("", "y", "Ce#", "aɪ"), ("", "ye", "#", "aɪ"),
+    # u-class spellings (view, value, blue, truth)
+    ("", "iew", "", "juː"),
+    ("l", "ue", "#", "uː"), ("r", "ue", "#", "uː"), ("", "ue", "#", "juː"),
+    ("", "u", "th#", "uː"),
+    # broad-O contexts (wall, talk, salt, war, long, loss, off)
+    ("", "all", "#", "ɔːl"), ("", "all", "s#", "ɔːl"),
+    ("", "alk", "", "ɔːk"), ("", "alt", "", "ɔːlt"),
+    ("w", "ar", "#", "ɔːɹ"), ("w", "ar", "C", "ɔːɹ"),
+    ("w", "or", "C", "ɜː"),
+    ("w", "atch", "", "ɑːtʃ"),
+    ("", "ong", "#", "ɔːŋ"), ("", "ong", "s#", "ɔːŋ"),
+    ("", "oss", "#", "ɔːs"), ("", "off", "#", "ɔːf"),
+    # r-colored / pre-r vowel clusters (early, near, here, carry, sorry)
+    ("", "ear", "C", "ɜː"), ("", "ear", "#", "ɪɹ"), ("", "ear", "V", "ɪɹ"),
+    ("", "eer", "", "ɪɹ"), ("", "ere", "#", "ɪɹ"),
+    ("#", "arr", "", "əɹ"), ("", "arr", "V", "æɹ"),
+    ("", "err", "V", "ɛɹ"), ("", "orr", "V", "ɑːɹ"), ("", "irr", "V", "ɪɹ"),
+    # palatalisation before unstressed u (situation, graduate, question)
+    ("", "stion", "", "stʃən"),
+    ("", "tu", "V", "tʃu"), ("", "du", "V", "dʒu"),
+    # silent clusters (climb, autumn, listen, castle)
+    ("", "mb", "#", "m"), ("", "mn", "#", "m"),
+    ("", "sten", "#", "sən"), ("", "stle", "#", "səl"),
+    ("", "uage", "#", "wɪdʒ"),
+    # word-initial unstressed a- before an open syllable (about, ago,
+    # ability); doubled-consonant attachments (attack, attention, affair)
+    ("#", "att", "", "ət"), ("#", "aff", "", "əf"),
+    ("#", "a", "CV", "ə"),
+    ("", "a", "#", "ə"),
+    ("ff", "or", "t#", "ɚ"),
+    ("mf", "or", "t#", "ɚ"),
+    ("", "sear", "", "sɜː"),
+    ("#", "a", "gen", "eɪ"),
+    ("", "ssue", "", "ʃuː"),
+    ("", "edu", "", "ɛdʒə"),
+    ("", "gy", "#", "dʒi"),
+    ("", "llion", "", "ljən"), ("", "nion", "", "njən"),
+    ("", "nge", "#", "ndʒ"),
+    ("r", "ive", "#", "aɪv"), ("l", "ive", "#", "aɪv"),
+    ("f", "ive", "#", "aɪv"), ("h", "ive", "#", "aɪv"),
+    ("v", "ive", "#", "aɪv"), ("", "ive", "#", "ɪv"),
+    ("m", "edi", "", "iːdi"),
+    ("", "ire", "", "aɪɚ"),
+    ("", "our", "#", "aʊɚ"),
+    ("", "ea", "lth", "ɛ"), ("", "ead", "y", "ɛd"),
+    ("", "oup", "", "uːp"),
+    ("oo", "se", "#", "z"),
+    ("", "ose", "#", "oʊz"),
+    ("", "sb", "", "zb"),
+    ("", "cc", "ee", "ks"), ("", "cc", "e", "ks"), ("", "cc", "i", "ks"),
+    ("", "cc", "", "k"),
+    ("#", "ex", "V", "ɪɡz"),
+    ("#", "gh", "", "ɡ"),
+    ("", "age", "#", "ɪdʒ"),
+    ("", "oise", "", "ɔɪz"), ("", "ease", "#", "iːz"),
+    ("", "eese", "#", "iːz"), ("", "uise", "#", "uːz"),
+    ("", "ause", "", "ɔːz"), ("", "aise", "#", "eɪz"),
+    ("", "ise", "#", "aɪz"),
+    ("z", "ine", "#", "iːn"), ("cc", "ine", "#", "iːn"),
+    ("r", "ine", "#", "iːn"),
+    ("", "gery", "#", "dʒɚi"),
+    ("rt", "ain", "#", "ən"), ("pt", "ain", "#", "ən"),
+    ("ll", "ain", "#", "ən"), ("it", "ain", "#", "ən"),
+    ("", "i", "CeC#", "aɪ"), ("", "a", "CeC#", "eɪ"),
+    ("", "i", "Cle#", "aɪ"), ("", "a", "Cle#", "eɪ"),
+    ("", "o", "Cle#", "oʊ"),
+    # --- end r5 additions ---
     # tense vowel before the -tion/-ture suffixes (nation, nature)
     ("", "ation", "", "eɪʃən"),
     ("", "otion", "", "oʊʃən"),
@@ -213,8 +400,6 @@ LTS_RULES = [
     ("V", "al", "#", "əl"),
     ("C", "al", "#", "əl"),
     ("C", "on", "#", "ən"),
-    ("", "ence", "#", "əns"),
-    ("", "ance", "#", "əns"),
     ("#", "ex", "", "ɪks"),     # experience, expensive
     ("", "nging", "#", "ŋɪŋ"),  # singing, ringing: no hard g
     # doubled consonant letters are single phonemes
@@ -284,7 +469,7 @@ LTS_RULES = [
     ("", "ie", "", "iː"),       # believe, field, piece
     ("#d", "ia", "", "aɪə"),    # diary, diamond, dial
     ("", "ey", "#", "i"),       # journey, valley, kidney
-    ("#", "re", "CV", "ɹiː"),   # research, receive (desk-safe CV guard)
+    ("#", "re", "CV", "ɹɪ"),    # return, remain, result (desk-safe CV guard)
     ("#", "be", "CV", "bɪ"),    # behave, believe
     ("#", "de", "CV", "dɪ"),    # decide, decision
     ("", "ch", "n", "k"),       # technology
@@ -375,6 +560,83 @@ def _match_context(word: str, pos: int, ctx: str, after: bool) -> bool:
     return True
 
 
+# word-final suffix reductions applied to polysyllables in phoneme space:
+# unstressed closing syllables centralise to schwa in General American
+# (student, parent, level, market, system, quality).  Monosyllables (went,
+# bell, get) are excluded by the nucleus count.
+_REDUCE_SUFFIXES = [
+    (2, "ɛnt", "ənt"), (2, "ɛns", "əns"), (2, "ɛm", "əm"), (2, "ɛl", "əl"),
+    (2, "ɛt", "ət"), (2, "ɪti", "əti"), (2, "æns", "əns"),
+    (3, "ɛɹi", "ɚi"), (3, "ɔːɹi", "ɚi"), (2, "dɔːm", "dəm"),
+]
+
+_DIPHTHONGS = ("aɪ", "aʊ", "eɪ", "oʊ", "ɔɪ", "ɪə", "eə", "ʊə")
+
+
+def _nuclei(phonemes: str) -> int:
+    """Count syllable nuclei: diphthongs are one unit; every other vowel
+    character (plus optional length mark) is its own nucleus."""
+    n = 0
+    i = 0
+    while i < len(phonemes):
+        pair = phonemes[i:i + 2]
+        if pair in _DIPHTHONGS:
+            n += 1
+            i += 2
+        elif phonemes[i] in VOWELS and phonemes[i] != "ː":
+            n += 1
+            i += 1
+        else:
+            i += 1
+        while i < len(phonemes) and phonemes[i] == "ː":
+            i += 1
+    return n
+
+
+def _medial_reduce(phonemes: str) -> str:
+    """Centralise the SECOND nucleus of an initial-stress polysyllable
+    (galaxy, enemy, melody, universe): with primary stress on nucleus 1,
+    a short nucleus 2 reduces to schwa in General American.  Words whose
+    first nucleus already reduced (ə) carry stress later — untouched."""
+    if _nuclei(phonemes) < 3:
+        return phonemes
+    spans = []
+    i = 0
+    while i < len(phonemes) and len(spans) < 3:
+        pair = phonemes[i:i + 2]
+        if pair in _DIPHTHONGS:
+            spans.append((i, i + 2))
+            i += 2
+        elif phonemes[i] in VOWELS and phonemes[i] != "ː":
+            j = i + 1
+            while j < len(phonemes) and phonemes[j] == "ː":
+                j += 1
+            spans.append((i, j))
+            i = j
+        else:
+            i += 1
+    first = phonemes[spans[0][0]:spans[0][1]]
+    s2, e2 = spans[1]
+    second = phonemes[s2:e2]
+    if first in ("ə", "ɚ", "ɐ") or second not in ("æ", "ɛ", "ɪ", "ɑː", "ʌ"):
+        return phonemes
+    return phonemes[:s2] + "ə" + phonemes[e2:]
+
+
+def _reduce_unstressed(phonemes: str) -> str:
+    n = _nuclei(phonemes)
+    for min_n, old, new in _REDUCE_SUFFIXES:
+        if n < min_n:
+            continue
+        if phonemes.endswith(old):
+            phonemes = phonemes[: -len(old)] + new
+            break
+        if phonemes.endswith(old + "s"):
+            phonemes = phonemes[: -len(old) - 1] + new + "s"
+            break
+    return _medial_reduce(phonemes)
+
+
 def letter_to_sound(word: str) -> str:
     out = []
     pos = 0
@@ -391,7 +653,7 @@ def letter_to_sound(word: str) -> str:
             break
         else:
             pos += 1  # drop unknown character
-    return "".join(out)
+    return _reduce_unstressed("".join(out))
 
 
 def add_stress(phonemes: str) -> str:
@@ -470,6 +732,14 @@ class G2P:
             return pluralize(LEXICON[lower[:-2]])
         if lower.endswith("s") and lower[:-1] in LEXICON:
             return pluralize(LEXICON[lower[:-1]])
+        # transparent compounds (notebook, newspaper, sunrise): phonemize
+        # the halves independently so mid-word silent-e and stress behave
+        # as at true word edges.  Both halves must be known words.
+        if len(lower) >= 6 and lower.isalpha():
+            for i in range(3, len(lower) - 2):
+                a, b = lower[:i], lower[i:]
+                if a in LEXICON and b in LEXICON:
+                    return LEXICON[a] + LEXICON[b].replace("ˈ", "ˌ")
         return add_stress(letter_to_sound(lower))
 
     def __call__(self, text: str) -> str:

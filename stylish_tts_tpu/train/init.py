@@ -21,6 +21,23 @@ INIT_T = 8
 INIT_F = 12
 
 
+def _cpu_init():
+    """Context manager pinning init computations to host CPU.
+
+    Init graphs are huge one-shot computations: running them through the
+    TPU remote-compile service takes minutes AND leaves the compiled init
+    program resident in HBM (the r4 jit-init of the SLM on-device cost
+    ~0.1 GB of headroom and tipped the b8xf700 train-step compile over
+    the 16 GB limit).  Arrays transfer to device on first use."""
+    import contextlib
+
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return contextlib.nullcontext()
+    return jax.default_device(cpu)
+
+
 def init_model_variables(
     models: Dict[str, Any], mc: ModelConfig, rng: jax.Array,
     keys: Optional[List[str]] = None,
@@ -78,14 +95,7 @@ def init_model_variables(
     # Initialise on CPU: init graphs are huge one-shot computations that
     # take minutes each through the TPU remote-compile service but seconds
     # on host; the resulting arrays transfer to device on first use.
-    try:
-        cpu = jax.devices("cpu")[0]
-    except RuntimeError:
-        cpu = None
-    import contextlib
-
-    ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
-    with ctx:
+    with _cpu_init():
         for i, key in enumerate(keys if keys is not None else models.keys()):
             k = jax.random.fold_in(rng, i)
             rngs = {"params": k, "dropout": k, "sample": k}
@@ -102,7 +112,10 @@ def init_slm_params(rng: jax.Array, mc: Optional[ModelConfig] = None) -> Any:
     when ``mc.slm.weights_path`` is set, random features otherwise."""
     layers = mc.slm.layers if mc is not None else 12
     slm = SLMFeatureExtractor(n_layers=layers)
-    params = jax.jit(slm.init)({"params": rng}, jnp.zeros((1, 1600)))["params"]
+    with _cpu_init():
+        params = jax.jit(slm.init)(
+            {"params": rng}, jnp.zeros((1, 1600))
+        )["params"]
     if mc is not None and mc.slm.weights_path:
         from .checkpoint import load_model_safetensors
 
@@ -120,9 +133,10 @@ def init_vocos_params(rng: jax.Array, weights_path: Optional[str]) -> Any:
     from .checkpoint import load_model_safetensors
 
     vocos = Vocos()
-    params = jax.jit(vocos.init)(
-        {"params": rng}, jnp.zeros((1, INIT_F, VOCOS_N_MELS))
-    )["params"]
+    with _cpu_init():
+        params = jax.jit(vocos.init)(
+            {"params": rng}, jnp.zeros((1, INIT_F, VOCOS_N_MELS))
+        )["params"]
     return load_model_safetensors(weights_path, params)
 
 
@@ -136,9 +150,10 @@ def init_ssl_params(rng: jax.Array, mc: ModelConfig):
         model_sr=mc.sample_rate, hubert_sr=mc.hubert.sr,
         proj_dim=mc.hubert.hidden_dim,
     )
-    hubert_p = jax.jit(hubert.init, static_argnums=2)(
-        {"params": k1}, jnp.zeros((1, 4800)), 12
-    )["params"]
+    with _cpu_init():
+        hubert_p = jax.jit(hubert.init, static_argnums=2)(
+            {"params": k1}, jnp.zeros((1, 4800)), 12
+        )["params"]
     if mc.hubert.weights_path:
         from .checkpoint import load_model_safetensors
 
@@ -150,7 +165,10 @@ def init_ssl_params(rng: jax.Array, mc: ModelConfig):
     spk = SpeakerEmbeddingModel(
         model_sr=mc.sample_rate, hidden_dim=mc.speaker_embedder.hidden_dim
     )
-    spk_p = jax.jit(spk.init)({"params": k2}, jnp.zeros((1, 4800)))["params"]
+    with _cpu_init():
+        spk_p = jax.jit(spk.init)(
+            {"params": k2}, jnp.zeros((1, 4800))
+        )["params"]
     if mc.speaker_embedder.weights_path:
         from .checkpoint import load_model_safetensors
 

@@ -235,22 +235,51 @@ def _guarded_step(step_fn, state, batch, rng, frozen, bm, mesh, skip_bins):
     return state, None
 
 
-def _drain_metrics(logs):
+def _xla_runtime_errors():
+    errs = []
+    try:  # noqa: SIM105
+        import jaxlib.xla_extension as _xe
+
+        errs.append(_xe.XlaRuntimeError)
+    except Exception:  # noqa: BLE001
+        pass
+    err = getattr(getattr(jax, "errors", None), "JaxRuntimeError", None)
+    if err is not None:
+        errs.append(err)
+    return tuple(errs) or (Exception,)
+
+
+_XLA_RUNTIME_ERRORS = _xla_runtime_errors()
+
+
+def _drain_metrics(logs, state):
     """Average accumulated device-scalar metric dicts with ONE host
     transfer: stack on device, fetch the [n_logs, n_metrics] block in a
     single device_get instead of log_interval × n_metrics scalar reads
-    through the transfer tunnel."""
+    through the transfer tunnel.
+
+    Async dispatch means a failed step's device error can surface HERE
+    rather than at the step_fn call the OOM guard wraps.  A transient
+    relay fault that only hit the metric fetch is survivable (the window
+    is dropped); a fault that poisoned the training state is NOT — every
+    later step would re-raise the same device error, which the OOM guard
+    would misclassify and use to corrupt the persisted batch plan.  So on
+    fetch failure we verify state health with a canary block: if the
+    state is poisoned, the canary re-raises the ORIGINAL device error and
+    it propagates out of the stage loudly.  Host-side programming errors
+    (e.g. inconsistent metric keys) are never caught."""
     if not logs:
         return {}
     names = sorted(logs[0].keys())
     try:
         block = jnp.stack([jnp.stack([m[k] for k in names]) for m in logs])
         means = np.asarray(block).mean(axis=0)
-    except Exception as exc:  # noqa: BLE001
-        # async dispatch surfaces a failed step's device error HERE, not at
-        # the step_fn call the OOM guard wraps — don't let a dropped window
-        # of metrics kill the stage (the guard already latched the bad bin)
-        logger.warning("metric window dropped (%s)", str(exc)[:200])
+    except _XLA_RUNTIME_ERRORS as exc:
+        jax.block_until_ready(state.step)  # poisoned state re-raises here
+        logger.warning(
+            "metric window dropped, state verified healthy (%s)",
+            str(exc)[:200],
+        )
         return {}
     return {k: float(v) for k, v in zip(names, means)}
 
@@ -489,7 +518,7 @@ def train_model(
                 logs.append(metrics)
                 step = ctx.manifest.current_total_step
                 if step % config.training.log_interval == 0:
-                    combined = _drain_metrics(logs)
+                    combined = _drain_metrics(logs, state)
                     logs = []
                     total = combined.pop("loss", 0.0)
                     vi = config.training.val_interval
