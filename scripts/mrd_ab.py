@@ -135,6 +135,50 @@ def run_pallas(x, key):
     return params, jax.jit(jax.value_and_grad(loss))
 
 
+def run_dfsplit(x, key, pad128=False):
+    """Lane-dense df-split: each C32 conv (3,9)/stride-(1,2) becomes a
+    (1,9) conv with C_out=3*32=96 (the 3 freq taps move into output
+    channels) followed by a fused 3-way shifted add over freq.  Exact
+    same math and the SAME parameter tensors — W2 is a reshape/transpose
+    of W — but the MXU contraction is K=288 x N=96 (75% lanes) instead
+    of K=864 x N=32 (25%), and the freq-tap reduction becomes cheap
+    elementwise adds.  pad128 zero-pads N to 128 full lanes."""
+    params = make_params(key, [x.shape[-1], 32, 32, 32, 32])
+
+    def df_conv(xin, w, g, b, stride):
+        wn = weightnorm_scale(w, g)           # [3, kt, 32, 32]
+        kf, kt, ci, co = wn.shape
+        w2 = jnp.transpose(wn, (1, 2, 0, 3)).reshape(1, kt, ci, kf * co)
+        if pad128:
+            w2 = jnp.pad(w2, ((0, 0), (0, 0), (0, 0), (0, 128 - kf * co)))
+        z = jax.lax.conv_general_dilated(
+            xin, w2.astype(xin.dtype), window_strides=(1, stride[1]),
+            padding=((0, 0), (kt // 2, kt // 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        zp = jnp.pad(z, ((0, 0), (1, 1), (0, 0), (0, 0)))
+        f = xin.shape[1]
+        y = (zp[:, 0:f, :, 0:co] + zp[:, 1:f + 1, :, co:2 * co]
+             + zp[:, 2:f + 2, :, 2 * co:3 * co])
+        return y + b.astype(y.dtype)
+
+    def loss(ps, xin):
+        y = xin
+        acc = 0.0
+        for i, ((w, g, b), ((_kf, _kt), s)) in enumerate(zip(ps[:-1], SPECS)):
+            if i == 0:
+                y = conv_raw(y, weightnorm_scale(w, g), b, s)
+            else:
+                y = df_conv(y, w, g, b, s)
+            y = jax.nn.leaky_relu(y, 0.1)
+            acc = acc + jnp.sum(jnp.abs(y))
+        w, g, b = ps[-1]
+        y = conv_raw(y, weightnorm_scale(w, g), b, (1, 1))
+        return jnp.sum(y ** 2) + acc
+
+    return params, jax.jit(jax.value_and_grad(loss))
+
+
 def s2d_pack(x, factor):
     """[B, F, T, C] -> [B, F/factor, T, C*factor] (freq space-to-depth).
     Freq index f = fo*factor + phase; channel block layout [phase, C]."""
@@ -252,6 +296,12 @@ def main() -> None:
             dtv = bench(fn, params, x)
         elif variant == "pallas":
             params, fn = run_pallas(x, key)
+            dtv = bench(fn, params, x)
+        elif variant == "dfsplit":
+            params, fn = run_dfsplit(x, key)
+            dtv = bench(fn, params, x)
+        elif variant == "dfsplit128":
+            params, fn = run_dfsplit(x, key, pad128=True)
             dtv = bench(fn, params, x)
         elif variant == "s2d":
             params, fn, xp = run_s2d(x, key)

@@ -47,7 +47,7 @@ class CurveCapture(logging.Handler):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=300)
-    ap.add_argument("--out", default="TRAINCURVE_r03.json")
+    ap.add_argument("--out", default="TRAINCURVE_r05.json")
     ap.add_argument("--stages", default="alignment,acoustic")
     ap.add_argument("--utts", type=int, default=48)
     ap.add_argument("--seconds", type=float, default=4.0)
@@ -75,10 +75,11 @@ def main() -> int:
     config.training.log_interval = 1
     config.training.val_interval = 10 ** 9
     config.training.save_interval = 10 ** 9
-    # conservative batch plan: the heuristic/AOT plans solved b36/f340 for
-    # the full-size acoustic GAN step, which OOM'd the 16 GB chip in the
-    # first r4 attempt (the curve, not peak throughput, is the point here;
-    # b8-equivalent shapes are measured-safe — bench.py b8/f700)
+    # pin a measured-safe batch plan instead of the AOT memory planner:
+    # the planner's probe+validation compiles cost ~5 relay compiles of the
+    # full-size step (tens of minutes) and the curve, not peak throughput,
+    # is the point here.  probe_batch_max=8 drives the heuristic plan to
+    # b8-equivalent shapes, which bench.py measures as fitting at f700.
     config.training.aot_memory_plan = False
     for st in args.stages.split(","):
         config.training_plan.get_stage(st).probe_batch_max = 8

@@ -159,16 +159,26 @@ def aggregate(trace_dir: str, top: int = 30) -> dict:
         names = [p["name"] for p in planes]
         raise RuntimeError(f"no device plane found; planes: {names}")
 
+    # r5 fix: aggregate ONLY the TensorCore "XLA Ops" line.  "Async XLA
+    # Ops" events (DMA copies) OVERLAP the compute line — summing both
+    # double-counted data movement against wall time and produced the
+    # bogus r4 "69% async-copy" readout.  Async totals are reported
+    # separately as overlap context.
     by_op: dict[str, float] = defaultdict(float)
     by_cat: dict[str, float] = defaultdict(float)
+    async_by_op: dict[str, float] = defaultdict(float)
     total_ps = 0
+    async_ps = 0
     for plane in device_planes:
         meta = plane["event_meta"]
         for line in plane["lines"]:
-            # op-level lines carry per-HLO events; skip module/step lines
-            # (they span whole steps and would double-count)
-            lname = line["name"].lower()
-            if "step" in lname or "module" in lname:
+            if line["name"] == "Async XLA Ops":
+                for meta_id, dur_ps in line["events"]:
+                    name, disp = meta.get(meta_id, (f"op_{meta_id}", ""))
+                    async_by_op[disp or name] += dur_ps
+                    async_ps += dur_ps
+                continue
+            if line["name"] != "XLA Ops":
                 continue
             for meta_id, dur_ps in line["events"]:
                 name, disp = meta.get(meta_id, (f"op_{meta_id}", ""))
@@ -183,6 +193,11 @@ def aggregate(trace_dir: str, top: int = 30) -> dict:
     return {
         "xplane": path,
         "device_op_time_s": round(total_s, 4),
+        "async_overlapped_s": round(async_ps / 1e12, 4),
+        "async_ops": {
+            k[:60]: round(v / 1e12, 4)
+            for k, v in sorted(async_by_op.items(), key=lambda kv: -kv[1])[:5]
+        },
         "categories": {
             k: {"s": round(v / 1e12, 4), "pct": round(100 * v / total_ps, 1)}
             for k, v in cats
@@ -195,6 +210,63 @@ def aggregate(trace_dir: str, top: int = 30) -> dict:
             }
             for k, v in ops[:top]
         ],
+    }
+
+
+def attribute_modules(trace: str, hlo_path: str, top: int = 15) -> dict:
+    """Join TC-line op durations with optimized-HLO metadata op_name paths
+    to attribute device time per model module (r5: this is how the
+    'MRD = 72% of TC time' number is produced)."""
+    import re
+
+    opmod: dict[str, str] = {}
+    pat = re.compile(r"%(\S+?) = .*metadata=\{op_name=\"([^\"]*)\"")
+    with open(hlo_path) as fh:
+        for line in fh:
+            m = pat.search(line)
+            if m:
+                opmod[m.group(1)] = m.group(2)
+
+    def module_of(p: str) -> str:
+        if "MultiResolutionDiscriminator" in p:
+            return "mrd"
+        if "SLMFeatureExtractor" in p or "/slm" in p:
+            return "slm"
+        for k in ("speech_predictor", "SpeechPredictor", "TextEncoder",
+                  "Decoder", "Generator", "Flow", "Posterior", "Prior"):
+            if k in p:
+                return "speech_predictor"
+        if "MelStyleEncoder" in p:
+            return "mel_style_encoder"
+        if "PitchEnergyPredictor" in p:
+            return "pitch_energy"
+        return "other"
+
+    if os.path.isdir(trace):
+        pbs = glob.glob(f"{trace}/**/*.xplane.pb", recursive=True)
+        trace = pbs[0]
+    planes = parse_xspace(trace)
+    agg: dict[str, float] = defaultdict(float)
+    tot = 0
+    for plane in planes:
+        if "TPU" not in plane["name"] and not plane["name"].startswith("/device:"):
+            continue
+        meta = plane["event_meta"]
+        for line in plane["lines"]:
+            if line["name"] != "XLA Ops":
+                continue
+            for mid, dur in line["events"]:
+                name, disp = meta.get(mid, ("", ""))
+                key = (disp or name).lstrip("%")
+                path = opmod.get(key) or opmod.get(key.split(".")[0], "")
+                agg[module_of(path)] += dur
+                tot += dur
+    return {
+        "tc_time_s": round(tot / 1e12, 4),
+        "by_module": {
+            k: {"s": round(v / 1e12, 4), "pct": round(100 * v / tot, 1)}
+            for k, v in sorted(agg.items(), key=lambda kv: -kv[1])[:top]
+        },
     }
 
 
@@ -223,8 +295,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("trace", help="trace dir or xplane.pb path")
     ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--hlo", default=None,
+                    help="optimized-HLO dump (scripts/hlo_copies.py --out) "
+                         "to attribute TC time per model module")
     args = ap.parse_args()
     out = aggregate(args.trace, args.top)
+    if args.hlo:
+        out["modules"] = attribute_modules(args.trace, args.hlo)
     print(json.dumps(out, indent=1))
 
 

@@ -336,6 +336,16 @@ def train_model(
     variables = init_model_variables(ctx.models, model_config, rng)
     state = build_train_state(variables, model_config)
     slm_params = init_slm_params(jax.random.PRNGKey(7), model_config)
+    if not model_config.slm.weights_path and main_process:
+        # random features still regularise (random-projection perceptual
+        # loss), but pretrained WavLM is what the reference trains against
+        # (train/losses.py:408-426) — make the silent quality downgrade loud
+        logger.warning(
+            "slm.weights_path is unset: the SLM perceptual loss runs on "
+            "RANDOM WavLM features. For reference-parity quality, convert "
+            "pretrained weights with scripts/convert_wavlm.py and set "
+            "model.slm.weights_path."
+        )
 
     if init_torch:
         state = seed_state_from_torch(state, init_torch)
