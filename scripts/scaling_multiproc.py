@@ -35,8 +35,13 @@ WORKER = textwrap.dedent(
     """
     import os, sys, time, logging, re, json
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    # the shared persistent cache holds CPU AOT artifacts compiled for a
+    # different host microarchitecture; loading them under the distributed
+    # runtime segfaulted worker processes (SIGSEGV) — compile fresh
+    os.environ["JAX_ENABLE_COMPILATION_CACHE"] = "false"
     import jax
     jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_compilation_cache", False)
     sys.path.insert(0, __REPO__)
 
     pid = int(sys.argv[1]); nproc = int(sys.argv[2]); coord = sys.argv[3]

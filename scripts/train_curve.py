@@ -50,13 +50,43 @@ def main() -> int:
     ap.add_argument("--out", default="TRAINCURVE_r05.json")
     ap.add_argument("--stages", default="alignment,acoustic")
     ap.add_argument("--utts", type=int, default=48)
-    ap.add_argument("--seconds", type=float, default=4.0)
+    ap.add_argument("--seconds", type=float, default=7.0)
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model for CPU smoke runs of this harness")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon sitecustomize "
                          "ignores JAX_PLATFORMS)")
     args = ap.parse_args()
+
+    if "," in args.stages:
+        # one SUBPROCESS per stage: each stage then owns a clean device
+        # (no resident programs/buffers from the previous stage) and a
+        # relay fault in one stage cannot void the other's curve
+        import subprocess
+
+        merged = {"steps": args.steps, "utts": args.utts, "curves": {}}
+        for st in args.stages.split(","):
+            part = f"{args.out}.{st}.part"
+            cmd = [sys.executable, __file__, "--steps", str(args.steps),
+                   "--stages", st, "--utts", str(args.utts),
+                   "--seconds", str(args.seconds), "--out", part]
+            if args.tiny:
+                cmd.append("--tiny")
+            if args.cpu:
+                cmd.append("--cpu")
+            rc = subprocess.run(cmd).returncode
+            try:
+                sub = json.loads(Path(part).read_text())
+                merged["curves"].update(sub.get("curves", {}))
+                merged.update({k: v for k, v in sub.items()
+                               if k not in ("curves", "steps", "utts")})
+            except (OSError, ValueError):
+                pass
+            if rc != 0:
+                merged[f"{st}_error"] = f"rc={rc}"
+            Path(args.out).write_text(json.dumps(merged))
+        print(json.dumps({k: v for k, v in merged.items() if k != "curves"}))
+        return 0
 
     if args.cpu:
         import jax

@@ -128,6 +128,42 @@ def pitch_cmd(config_path, model_config_path, method, rmvpe_weights):
     )
 
 
+@main.command("prepare-book")
+@click.option("--audio", "audio_files", multiple=True, required=True,
+              type=click.Path(exists=True),
+              help="chapter WAV files, in book order (repeatable)")
+@click.option("--text", "book_text", required=True, type=click.Path(exists=True),
+              help="the book's ground-truth text")
+@click.option("--out", "out_dir", required=True, type=click.Path())
+@click.option("--transcript", "transcripts", multiple=True,
+              type=click.Path(exists=True),
+              help="optional per-chapter ASR phrase lists "
+                   "(phrase|start|end|text), one per --audio in order")
+@click.option("--sample-rate", default=24000, type=int)
+@click.option("--seed", default=0, type=int)
+def prepare_book_cmd(audio_files, book_text, out_dir, transcripts,
+                     sample_rate, seed):
+    """Audiobook chapters + book text -> training dataset (wav24/ +
+    bucketed train lists + val split).  Counterpart of the reference's
+    ttab dataprep scripts (find-phrases / match-transcriptions /
+    make-segments)."""
+    import json
+
+    from .dataprep.book import prepare_book
+
+    if transcripts and len(transcripts) != len(audio_files):
+        raise click.UsageError("--transcript count must match --audio count")
+    stats = prepare_book(
+        audio_files=list(audio_files),
+        book_text_file=book_text,
+        out_dir=out_dir,
+        sample_rate=sample_rate,
+        transcripts=list(transcripts) or None,
+        seed=seed,
+    )
+    click.echo(json.dumps(stats))
+
+
 @main.command("convert")
 @click.option("--config", "config_path", required=True, type=click.Path(exists=True))
 @click.option("--model-config", "model_config_path", default=None, type=click.Path())
@@ -185,9 +221,12 @@ def import_torch_cmd(checkpoint, model_config_path, out_dir, single_model):
               help="inference artifact dir from `convert`")
 @click.option("--text", "text_path", type=click.Path(exists=True),
               help="text file (normalised + split into sentences)")
+@click.option("--book", "book_path", type=click.Path(exists=True),
+              help="markdown book: synthesize one WAV per chapter into "
+                   "--out (a directory)")
 @click.option("--phonemes", default=None, help="direct IPA phoneme input")
 @click.option("--out", "out_path", required=True, type=click.Path())
-def speak_cmd(artifact, text_path, phonemes, out_path):
+def speak_cmd(artifact, text_path, book_path, phonemes, out_path):
     """Long-form synthesis to WAV (capability of the reference ttab
     audiobook scripts + test_onnx driver)."""
     import numpy as np
@@ -206,6 +245,28 @@ def speak_cmd(artifact, text_path, phonemes, out_path):
     )
     params = load_inference_params(artifact, mc)
     synth = Synthesizer(mc, params)
+    if book_path:
+        # chapter-per-WAV audiobook synthesis (reference
+        # tts/ttab/prepare_book.py + make-book.py capability)
+        from .dataprep.book import split_markdown_chapters
+
+        g2p = G2P()
+        out_dir = Path(out_path)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        for i, (title, body) in enumerate(
+            split_markdown_chapters(Path(book_path).read_text("utf-8")), 1
+        ):
+            sentences = split_sentences(normalize_text(body))
+            audio = synth.synthesize_longform([g2p(s) for s in sentences])
+            fn = out_dir / f"chapter-{i:03d}.wav"
+            wavfile.write(
+                str(fn), mc.sample_rate,
+                (np.clip(audio, -1, 1) * 32767).astype(np.int16),
+            )
+            click.echo(
+                f"{fn} ({audio.shape[0] / mc.sample_rate:.2f}s) {title}"
+            )
+        return
     if phonemes:
         audio = synth.synthesize(phonemes)
     else:

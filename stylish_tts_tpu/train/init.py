@@ -32,7 +32,10 @@ def _cpu_init():
     import contextlib
 
     try:
-        cpu = jax.devices("cpu")[0]
+        # local_devices, NOT devices: under jax.distributed the global
+        # list leads with process 0's CPU, and pinning another process's
+        # eager ops to a non-addressable device segfaults inside XLA
+        cpu = jax.local_devices(backend="cpu")[0]
     except RuntimeError:
         return contextlib.nullcontext()
     return jax.default_device(cpu)

@@ -602,6 +602,11 @@ def train_model(
         current = STAGES[current].next_stage
         ctx.manifest.current_step = 0
         ctx.manifest.current_epoch = 0
+        # drop the finished stage's compiled executables: stale programs
+        # stay resident in HBM through the jit cache, and the next stage
+        # then runtime-OOMs at shapes its own compile-time memory analysis
+        # said fit (observed at the r5 alignment -> acoustic transition)
+        jax.clear_caches()
     return ctx.manifest
 
 

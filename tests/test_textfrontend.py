@@ -95,11 +95,41 @@ class TestG2P:
         # primary independent CMUdict-derived golden (r4): regression
         # floors at the honestly-measured level, ratcheted as rules improve
         cmu = report["cmudict_derived"]
-        assert cmu["full_pipeline"]["per_no_marks"] <= 0.12, cmu
-        assert cmu["rules_only"]["per_no_marks"] <= 0.19, cmu
+        # r5 ratchet: lexicon+rules overhaul measured 0.0074 PER / 0.972
+        # word accuracy (G2P_r05.json); floors leave modest slack
+        assert cmu["full_pipeline"]["per_no_marks"] <= 0.02, cmu
+        assert cmu["full_pipeline"]["word_accuracy_no_marks"] >= 0.95, cmu
+        assert cmu["rules_only"]["per_no_marks"] <= 0.15, cmu
         ext = report["external_homographs"]
         assert ext["learned_accuracy"] >= ext["heuristic_accuracy"], ext
         assert ext["learned_accuracy"] >= 0.9, ext
+
+    def test_r5_rule_mechanics(self):
+        """Lock the r5 G2P mechanics: long-vowel clusters, suffix/medial
+        reduction, compound splitting, homophone-stable keys."""
+        from stylish_tts_tpu.textfrontend.g2p import (
+            G2P, letter_to_sound,
+        )
+
+        g2p = G2P(use_espeak=False)
+        strip = str.maketrans("", "", "\u02c8\u02cc\u02d0")
+        def w(word):
+            return g2p.word(word).translate(strip)
+
+        # long-vowel clusters and broad-O
+        assert w("child").startswith("t\u0283a\u026ald")
+        assert "a\u026a" in w("sign") and w("sign").endswith("n")
+        assert w("fly").endswith("a\u026a")
+        assert w("wall") == "w\u0254l"
+        # nucleus-aware suffix reduction: polysyllables reduce,
+        # monosyllables keep the full vowel
+        assert letter_to_sound("student").endswith("\u0259nt")
+        assert letter_to_sound("went").endswith("\u025bnt")
+        assert letter_to_sound("dance").endswith("\u00e6ns")
+        assert letter_to_sound("importance").endswith("\u0259ns")
+        # transparent compounds phonemize at word edges
+        assert w("notebook") == w("note") + w("book")
+        assert w("newspaper") == w("news") + w("paper")
 
     def test_stress_and_plural(self):
         from stylish_tts_tpu.textfrontend.g2p import add_stress, pluralize
