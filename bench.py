@@ -362,20 +362,21 @@ def bench_precache() -> dict:
 # Ordered HEADLINE-FIRST: a driver timeout partway through still leaves the
 # baseline-facing numbers on stdout (the cumulative JSON reprints per sub).
 SUBS = {
-    # 900 s budgets: cold compiles through the TPU relay run 5-15 min; the
-    # persistent compile cache (~/.cache/jax*) makes warm reruns fast and
-    # accumulates across timed-out attempts, so partial progress persists.
-    "synthesis": (bench_synthesis, 900),
+    # budgets sum to ~3400 s — r4's 900 s-each schedule overran the
+    # driver's cap (BENCH_r04 rc=124, two subs never ran).  Cold compiles
+    # through the TPU relay run 5-15 min; the persistent compile cache
+    # (~/.cache/jax*) makes warm reruns fast and accumulates across
+    # timed-out attempts, so partial progress persists.
+    "synthesis": (bench_synthesis, 800),
     # canonical bin-20 acoustic train shape (BASELINE measured config)
-    "train_step": (bench_train_step, 900),
-    "precache": (bench_precache, 600),
+    "train_step": (bench_train_step, 800),
+    "precache": (bench_precache, 500),
     # extra bucket shapes, each in its own subprocess so an OOM at one
     # shape doesn't void the others.  Footprint guide (dominant term =
     # MRD res-0 fmaps ~ batch*frames): b8*f460 and b8*f700 (1.5x) fit on
-    # 16 GB; the wide-batch/short-utterance points keep batch*frames <= 1.5x.
-    "train_b8l": (lambda: bench_train_step(8, 700, "_b8_f700"), 900),
-    "train_b16": (lambda: bench_train_step(16, 230, "_b16_f230"), 900),
-    "train_b12": (lambda: bench_train_step(12, 460, "_b12_f460"), 900),
+    # 16 GB; the wide-batch/short-utterance point keeps batch*frames <= 1.5x.
+    "train_b8l": (lambda: bench_train_step(8, 700, "_b8_f700"), 700),
+    "train_b16": (lambda: bench_train_step(16, 230, "_b16_f230"), 600),
 }
 
 

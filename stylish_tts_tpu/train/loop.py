@@ -199,6 +199,17 @@ def _is_oom(exc: Exception) -> bool:
     )
 
 
+def _is_transient_relay(exc: Exception) -> bool:
+    """Remote-compile/relay hiccups that are safe to retry verbatim:
+    compilation is idempotent and the step has not executed.  Observed
+    killing a 350-step r5 curve run mid-compile: 'remote_compile: read
+    body: response body closed before all bytes were read'."""
+    msg = str(exc)
+    return "remote_compile" in msg or (
+        "INTERNAL" in msg and ("read body" in msg or "HTTP 5" in msg)
+    )
+
+
 def _guarded_step(step_fn, state, batch, rng, frozen, bm, mesh, skip_bins):
     """Run one train step with the reference's OOM resilience semantics
     (train/batch_manager.py:187-242): on device OOM, persistently shrink
@@ -209,7 +220,9 @@ def _guarded_step(step_fn, state, batch, rng, frozen, bm, mesh, skip_bins):
     Returns (state, metrics_or_None)."""
     bin_num = batch.get("bin")
     host_rows = batch["text"].shape[0]
-    for _ in range(3):
+    oom_tries = 0
+    relay_tries = 0
+    while oom_tries < 3:
         try:
             device_batch = _device_batch(
                 {k: v[:host_rows] if hasattr(v, "shape") else v
@@ -218,8 +231,21 @@ def _guarded_step(step_fn, state, batch, rng, frozen, bm, mesh, skip_bins):
             )
             return step_fn(state, device_batch, rng, frozen)
         except Exception as exc:  # noqa: BLE001
+            if _is_transient_relay(exc):
+                # separate budget from the OOM shrink loop: a relay
+                # outage must not latch the bin as skipped
+                relay_tries += 1
+                if relay_tries > 5:
+                    raise
+                logger.warning(
+                    "transient relay/compile fault (%s); retry %d/5",
+                    str(exc)[:160], relay_tries,
+                )
+                time.sleep(min(15 * relay_tries, 60))
+                continue
             if not _is_oom(exc):
                 raise
+            oom_tries += 1
             cur = bm.get_batch_size(bin_num)
             new_bs = max(bm.divisor, cur // 2 // bm.divisor * bm.divisor)
             if new_bs >= cur:
