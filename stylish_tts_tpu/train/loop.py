@@ -205,6 +205,8 @@ def _is_transient_relay(exc: Exception) -> bool:
     killing a 350-step r5 curve run mid-compile: 'remote_compile: read
     body: response body closed before all bytes were read'."""
     msg = str(exc)
+    if _is_oom(exc):
+        return False  # compile-OOM also surfaces as an HTTP 500 wrapper
     return "remote_compile" in msg or (
         "INTERNAL" in msg and ("read body" in msg or "HTTP 5" in msg)
     )
@@ -231,9 +233,18 @@ def _guarded_step(step_fn, state, batch, rng, frozen, bm, mesh, skip_bins):
             )
             return step_fn(state, device_batch, rng, frozen)
         except Exception as exc:  # noqa: BLE001
-            if _is_transient_relay(exc):
+            if _is_oom(exc):
+                pass  # fall through to the shrink loop below
+            elif _is_transient_relay(exc) and not (
+                "tpu_compile_helper" in str(exc) and relay_tries >= 2
+            ):
                 # separate budget from the OOM shrink loop: a relay
-                # outage must not latch the bin as skipped
+                # outage must not latch the bin as skipped.  A repeated
+                # compile-helper 500 is different: the relay hides the
+                # compiler's error body, and a compile-OOM surfaces
+                # exactly this way — after two identical failures fall
+                # through to the batch-shrink path instead of burning
+                # the whole retry budget on a deterministic failure.
                 relay_tries += 1
                 if relay_tries > 5:
                     raise
@@ -243,7 +254,7 @@ def _guarded_step(step_fn, state, batch, rng, frozen, bm, mesh, skip_bins):
                 )
                 time.sleep(min(15 * relay_tries, 60))
                 continue
-            if not _is_oom(exc):
+            elif "tpu_compile_helper" not in str(exc):
                 raise
             oom_tries += 1
             cur = bm.get_batch_size(bin_num)
