@@ -212,12 +212,23 @@ def _is_transient_relay(exc: Exception) -> bool:
     )
 
 
-def _guarded_step(step_fn, state, batch, rng, frozen, bm, mesh, skip_bins):
+def _guarded_step(step_fn, state, batch, rng, frozen, bm, mesh, skip_bins,
+                  validated=None):
     """Run one train step with the reference's OOM resilience semantics
     (train/batch_manager.py:187-242): on device OOM, persistently shrink
     the bin's batch size, retry the batch truncated to the new size
     (recompiling at the smaller static shape), and after 3 failures latch
     the bin as skipped for this epoch.
+
+    Async dispatch defers RUNTIME failures past the ``step_fn`` call this
+    guard wraps, so the first time each (bin, batch_size) shape runs
+    (``validated`` tracks this, per stage) the step is synchronously
+    verified: the pre-step state is snapshotted to host (the step donates
+    its input state, so after a failed execution the old buffers are
+    unrecoverable on device), ``block_until_ready`` surfaces any runtime
+    OOM here — attributable to THIS bin — and on OOM the snapshot is
+    restored and the bin shrunk like a compile-time OOM (ADVICE r4).
+    Once a shape has completed one step it keeps the async fast path.
 
     Returns (state, metrics_or_None)."""
     bin_num = batch.get("bin")
@@ -225,16 +236,26 @@ def _guarded_step(step_fn, state, batch, rng, frozen, bm, mesh, skip_bins):
     oom_tries = 0
     relay_tries = 0
     while oom_tries < 3:
+        key = (bin_num, bm.get_batch_size(bin_num))
+        first_run = validated is not None and key not in validated
+        snapshot = jax.device_get(state) if first_run else None
         try:
             device_batch = _device_batch(
                 {k: v[:host_rows] if hasattr(v, "shape") else v
                  for k, v in batch.items()},
                 mesh,
             )
-            return step_fn(state, device_batch, rng, frozen)
+            out_state, metrics = step_fn(state, device_batch, rng, frozen)
+            if first_run:
+                jax.block_until_ready(out_state.step)
+                validated.add(key)
+            return out_state, metrics
         except Exception as exc:  # noqa: BLE001
             if _is_oom(exc):
-                pass  # fall through to the shrink loop below
+                if first_run:
+                    # the donated input state is void after a failed
+                    # execution; rebuild it from the host snapshot
+                    state = replicate(snapshot, mesh)
             elif _is_transient_relay(exc) and not (
                 "tpu_compile_helper" in str(exc) and relay_tries >= 2
             ):
@@ -523,6 +544,10 @@ def train_model(
             resume_skip = 0
         ctx.manifest.stage = current
         done = False
+        # (bin, batch_size) shapes that have completed one verified step
+        # on-device; first run of each is synchronous so a runtime OOM is
+        # recoverable (see _guarded_step)
+        validated_shapes: set = set()
         for epoch in range(start_epoch, plan.epochs):
             ctx.manifest.current_epoch = epoch + 1
             iterator = ctx.batch_manager.epoch_iterator(
@@ -549,6 +574,7 @@ def train_model(
                 state, metrics = _guarded_step(
                     step_fn, state, batch, step_rng, frozen,
                     ctx.batch_manager, mesh, skip_bins,
+                    validated=validated_shapes,
                 )
                 if metrics is None:  # bin latched after repeated OOM
                     continue

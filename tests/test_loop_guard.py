@@ -139,6 +139,60 @@ def test_guard_compile_500_falls_back_to_shrink(mesh, monkeypatch):
     assert bm.sizes["3"] == 16
 
 
+def test_guard_recovers_runtime_oom_on_first_run(mesh, monkeypatch):
+    """A runtime OOM (surfaces at the first-run block_until_ready, after
+    the donated input state is void) restores the host snapshot, shrinks
+    the bin, and retries — instead of poisoning the stage (ADVICE r4)."""
+    import collections
+
+    St = collections.namedtuple("St", ["step"])
+    state0 = St(step=jnp.asarray(7, jnp.int32))
+    calls, blocks = [], []
+
+    def step_fn(state, batch, rng, frozen):
+        calls.append(batch["text"].shape[0])
+        return St(step=state.step + 1), {"loss": jnp.zeros(())}
+
+    real_block = jax.block_until_ready
+
+    def fake_block(x):
+        blocks.append(1)
+        if len(blocks) == 1:
+            raise RuntimeError(
+                "RESOURCE_EXHAUSTED: ran out of memory while executing"
+            )
+        return real_block(x)
+
+    monkeypatch.setattr(L.jax, "block_until_ready", fake_block)
+    bm = _BM(16)
+    skip, validated = set(), set()
+    state, metrics = L._guarded_step(
+        step_fn, state0, _batch(16), jax.random.PRNGKey(0), None, bm,
+        mesh, skip, validated=validated,
+    )
+    assert metrics is not None
+    assert calls == [16, 8]            # runtime OOM shrank like compile OOM
+    assert bm.sizes["3"] == 8          # persisted
+    # pre-step snapshot (7) was restored before the successful retry
+    assert int(state.step) == 8
+    assert (3, 8) in validated and skip == set()
+
+
+def test_guard_validated_shape_keeps_async_fast_path(mesh, monkeypatch):
+    def step_fn(state, batch, rng, frozen):
+        return state, {"loss": jnp.zeros(())}
+
+    def boom(x):
+        raise AssertionError("block_until_ready called on validated shape")
+
+    monkeypatch.setattr(L.jax, "block_until_ready", boom)
+    _, metrics = L._guarded_step(
+        step_fn, "STATE", _batch(8), jax.random.PRNGKey(0), None, _BM(8),
+        mesh, set(), validated={(3, 8)},
+    )
+    assert metrics is not None
+
+
 def test_guard_raises_other_errors(mesh):
     def step_fn(state, batch, rng, frozen):
         raise RuntimeError("INVALID_ARGUMENT: bug")
