@@ -254,7 +254,11 @@ def _guarded_step(step_fn, state, batch, rng, frozen, bm, mesh, skip_bins,
             if _is_oom(exc):
                 if first_run:
                     # the donated input state is void after a failed
-                    # execution; rebuild it from the host snapshot
+                    # execution; rebuild it from the host snapshot.
+                    # Drop the failed step's outputs and inputs first —
+                    # out_state alone pins a full params+opt copy in HBM,
+                    # and restoring on top of it re-OOMs.
+                    out_state = metrics = device_batch = None  # noqa: F841
                     state = replicate(snapshot, mesh)
             elif _is_transient_relay(exc) and not (
                 "tpu_compile_helper" in str(exc) and relay_tries >= 2
